@@ -1,0 +1,182 @@
+"""Deterministic synthetic clips + reference tables (seed=42, no external
+data).
+
+Every field is a pure function of (row index, seed) so the same table is
+produced regardless of partitioning or parallelism — required both for
+golden tests and for the local[8]-vs-local[32] scaling bench to run on
+identical input (BASELINE.md sandbox evidence plan).
+
+Generation rules follow FIXTURES.md §1-2 (which transplants the reference
+test corpus, /root/reference/lambdas/tdr-draft-metadata-checks/src/test/
+resources/sample*.csv, onto the audio-table shape):
+
+- ``clip_id``   = f"clip/{i:08d}.wav"
+- ``bytes``     = RIFF PCM16 mono WAV, sine at ``220 + 13*(i%40)`` Hz
+- ``sr_hz``     in {8000, 16000, 22050, 44100}
+- ``dur_ms``    in [dur_min, dur_max) (default 200..2000 to keep local
+                 volumes sane; FIXTURES allows up to 15000)
+- ``codec``     in {pcm_s16le, flac, opus} (payloads are RIFF; see
+                 functions.audio_codec stubs)
+- ``transcript``= 3..20 words from a fixed 64-word lexicon
+
+Distributed generation goes through ``mapInPandas`` over ``spark.range``
+so a 200k-clip bench table is built by the executors, not the driver.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.audio_codec import encode_wav_pcm16
+from .models import CLIPS_SCHEMA, REF_CLIPS_SCHEMA
+
+SEED = 42
+SR_DOMAIN = (8000, 16000, 22050, 44100)
+CODECS = ("pcm_s16le", "flac", "opus")
+
+_LEXICON = [
+    f"{a}{b}"
+    for a in ("au", "di", "ko", "ma", "ne", "or", "pe", "ru")
+    for b in ("ba", "del", "fin", "gor", "lith", "mon", "san", "tec")
+]  # 64 deterministic pseudo-words
+_NS = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 NAMESPACE_DNS
+
+
+# -- pure per-index field functions (no RNG objects: cheap + order-free) ----
+
+def _mix(i: int, seed: int, salt: int) -> int:
+    x = (i * 2654435761 + seed * 40503 + salt * 97) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 2246822519) & 0xFFFFFFFF
+    x ^= x >> 13
+    return x
+
+
+def clip_id_of(i: int) -> str:
+    return f"clip/{i:08d}.wav"
+
+
+def sr_of(i: int, seed: int = SEED) -> int:
+    return SR_DOMAIN[_mix(i, seed, 1) % 4]
+
+
+def dur_of(i: int, seed: int = SEED, dur_min: int = 200, dur_max: int = 2000) -> int:
+    return dur_min + _mix(i, seed, 2) % (dur_max - dur_min)
+
+
+def codec_of(i: int, seed: int = SEED) -> str:
+    # pcm dominates (matches a realistic corpus; also keeps decode honest)
+    r = _mix(i, seed, 3) % 10
+    return CODECS[0] if r < 8 else CODECS[1 + (r & 1)]
+
+
+def freq_of(i: int) -> float:
+    return 220.0 + 13.0 * (i % 40)
+
+
+def transcript_of(i: int, seed: int = SEED) -> str:
+    n_words = 3 + _mix(i, seed, 4) % 18  # 3..20
+    return " ".join(
+        _LEXICON[_mix(i, seed, 5 + w) % 64] for w in range(n_words)
+    )
+
+
+def pcm_of(i: int, seed: int = SEED, dur_min: int = 200, dur_max: int = 2000) -> np.ndarray:
+    """The canonical int16 samples for clip i (shared by clips and ref)."""
+    sr = sr_of(i, seed)
+    dur = dur_of(i, seed, dur_min, dur_max)
+    n = sr * dur // 1000
+    t = np.arange(n, dtype=np.float64) / sr
+    wave = 0.5 * np.sin(2 * np.pi * freq_of(i) * t)
+    return (wave * 32767.0).astype(np.int16)
+
+
+def file_id_of(i: int) -> str:
+    return str(uuid.uuid5(_NS, clip_id_of(i)))
+
+
+# -- pandas builders (driver-side fixtures + executor-side batches) ---------
+
+def clips_batch(indices: np.ndarray, seed: int = SEED,
+                dur_min: int = 200, dur_max: int = 2000) -> pd.DataFrame:
+    rows = []
+    for i in map(int, indices):
+        pcm = pcm_of(i, seed, dur_min, dur_max)
+        sr = sr_of(i, seed)
+        rows.append(
+            (
+                clip_id_of(i),
+                encode_wav_pcm16(pcm, sr),
+                sr,
+                dur_of(i, seed, dur_min, dur_max),
+                codec_of(i, seed),
+                transcript_of(i, seed),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    )
+
+
+def ref_batch(indices: np.ndarray, seed: int = SEED,
+              dur_min: int = 200, dur_max: int = 2000) -> pd.DataFrame:
+    rows = []
+    for i in map(int, indices):
+        rows.append(
+            (
+                clip_id_of(i),
+                file_id_of(i),
+                pcm_of(i, seed, dur_min, dur_max).tobytes(),
+                transcript_of(i, seed),
+                sr_of(i, seed),
+                dur_of(i, seed, dur_min, dur_max),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["clip_id", "file_id", "ref_pcm", "ref_transcript", "ref_sr_hz", "ref_dur_ms"],
+    )
+
+
+# -- Spark-distributed generation -------------------------------------------
+
+def generate_clips(spark: SparkSession, n: int, seed: int = SEED,
+                   partitions: int | None = None,
+                   dur_min: int = 200, dur_max: int = 2000) -> DataFrame:
+    """Distributed clips table: executors synthesize their own index ranges."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield clips_batch(pdf["id"].to_numpy(), seed, dur_min, dur_max)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, CLIPS_SCHEMA)
+
+
+def generate_ref_clips(spark: SparkSession, n: int, seed: int = SEED,
+                       partitions: int | None = None,
+                       dur_min: int = 200, dur_max: int = 2000) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield ref_batch(pdf["id"].to_numpy(), seed, dur_min, dur_max)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, REF_CLIPS_SCHEMA)
+
+
+def clips_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    """Small driver-side fixture -> typed DataFrame (tests)."""
+    return spark.createDataFrame(pdf, schema=CLIPS_SCHEMA)
+
+
+def ref_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    return spark.createDataFrame(pdf, schema=REF_CLIPS_SCHEMA)

@@ -1,0 +1,143 @@
+"""File-level gates (G1-G4): fail-fast, short-circuit the pipeline.
+
+Reference semantics (Lambda.scala:107-115): UTF8 -> CSV load -> duplicate
+headers -> required -> additional headers -> row checks; the FIRST failing
+gate wins and later stages never run (ValidationExecutionError raised at
+Lambda.scala:354, caught at :117-118).
+
+For a typed columnar table the header gates are **pure metadata checks on
+``df.schema``** — zero cluster work. The decodability gate (UTF-8 analog,
+Lambda.scala:130-153) is data work and lives in ``operators/audio.py``;
+the engine applies its verdict with the same first-gate-wins precedence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..messages import resolve
+from ..models import (
+    Error,
+    ErrorFileData,
+    FileError,
+    ValidationErrors,
+)
+
+# canonical clips-table columns (input_hint)
+EXPECTED_COLUMNS = ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+REQUIRED_COLUMNS = EXPECTED_COLUMNS
+
+
+@dataclass
+class GateFailure:
+    """A tripped gate: carries the complete run verdict, like
+    ValidationExecutionError carries ErrorFileData (Lambda.scala:354)."""
+
+    error_file: ErrorFileData
+
+    @property
+    def file_error(self) -> FileError:
+        return self.error_file.fileError
+
+
+def duplicate_headers_gate(
+    raw_headers: list[str], consignment_id: str
+) -> GateFailure | None:
+    """G2 (Lambda.scala:168-184). Only meaningful for CSV ingest, where the
+    raw header line can repeat a name (Spark/Iceberg schemas cannot).
+    One error per duplicated header; assetId = consignmentId; message ''
+    -> catalog fallback key (golden error-file-duplicate-headers.json shows
+    'DUPLICATE_HEADER.file_path.duplicate')."""
+    seen: dict[str, int] = {}
+    for h in raw_headers:
+        seen[h] = seen.get(h, 0) + 1
+    dups = [h for h, n in seen.items() if n > 1]
+    if not dups:
+        return None
+    errors = [
+        Error("DUPLICATE_HEADER", h, "duplicate", f"DUPLICATE_HEADER.{h}.duplicate")
+        for h in dups
+    ]
+    return GateFailure(
+        ErrorFileData(
+            consignmentId=consignment_id,
+            fileError=FileError.DUPLICATE_HEADER,
+            validationErrors=[ValidationErrors(consignment_id, errors, [])],
+        )
+    )
+
+
+def required_columns_gate(
+    df: DataFrame,
+    consignment_id: str,
+    required: tuple[str, ...] = REQUIRED_COLUMNS,
+    key_col: str = "clip_id",
+) -> GateFailure | None:
+    """G3 (Lambda.scala:155-166). Missing required column -> SCHEMA_REQUIRED.
+
+    The reference validates only the FIRST row (List(csvData.head) at
+    Lambda.scala:159 — trap list) and reports that row's key as assetId;
+    when the key column itself is absent, assetId falls back to the key
+    column *name* (CSVHandler.scala:38, golden no-match-col-error.json).
+    Schema inspection is metadata-only; we fetch one row's key only when
+    a violation is actually being reported."""
+    missing = [c for c in required if c not in df.columns]
+    if not missing:
+        return None
+    if key_col in df.columns:
+        head = df.select(key_col).limit(1).collect()
+        asset_id = str(head[0][0]) if head else key_col
+    else:
+        asset_id = key_col
+    errors = [
+        Error("SCHEMA_REQUIRED", c, "required", f"SCHEMA_REQUIRED.{c}.required")
+        for c in missing
+    ]
+    data = [(key_col, asset_id)] if key_col in df.columns else []
+    return GateFailure(
+        ErrorFileData(
+            consignmentId=consignment_id,
+            fileError=FileError.SCHEMA_REQUIRED,
+            validationErrors=[ValidationErrors(asset_id, errors, data)],
+        )
+    )
+
+
+def additional_columns_gate(
+    df: DataFrame,
+    consignment_id: str,
+    allowed: tuple[str, ...] = EXPECTED_COLUMNS,
+) -> GateFailure | None:
+    """G4 (Lambda.scala:186-203). Extra columns -> ADDITIONAL_HEADER, one
+    error per stray column, empty message (golden
+    error-file-additional-headers.json). Metadata-only."""
+    extra = [c for c in df.columns if c not in allowed]
+    if not extra:
+        return None
+    errors = [Error("ADDITIONAL_HEADER", c, "additional", "") for c in extra]
+    return GateFailure(
+        ErrorFileData(
+            consignmentId=consignment_id,
+            fileError=FileError.ADDITIONAL_HEADER,
+            validationErrors=[ValidationErrors(consignment_id, errors, [])],
+        )
+    )
+
+
+def decode_gate_failure(consignment_id: str) -> GateFailure:
+    """G1 analog (UTF-8 gate, Lambda.scala:130-153): the run-level verdict
+    when any payload is undecodable. Shape mirrors not-utf8-error.json:
+    assetId = property = consignmentId, empty data, single FILE_CHECK
+    error. The detection itself is the audio stage's decode pass — the
+    engine decodes ONCE and derives both this gate and per-row violations
+    from the same pass (no second scan of ``bytes`` at 100 TB)."""
+    err = Error("FILE_CHECK", consignment_id, "UTF8", resolve("FILE_CHECK", consignment_id, "UTF8"))
+    return GateFailure(
+        ErrorFileData(
+            consignmentId=consignment_id,
+            fileError=FileError.UTF_8,
+            validationErrors=[ValidationErrors(consignment_id, [err], [])],
+        )
+    )

@@ -1,0 +1,121 @@
+"""Violation merge (A3) + run verdict (A4).
+
+The reference merges the 7 per-check error lists with a Semigroup:
+group by assetId, union error sets, distinct data entries
+(ErrorFileData.scala:21-33, combined via ``|+|`` at Lambda.scala:223-224).
+
+Spark-first: all checks emit DataFrames in the common violation-row shape
+(models.VIOLATION_SCHEMA); the merge is ``union`` + ONE hash-aggregate:
+
+    groupBy(asset_id).agg(array_sort(array_distinct(collect_list(error))),
+                          array_sort(array_distinct(flatten(collect_list(data)))))
+
+``array_sort`` pins a canonical order (collect_list order is
+partition-nondeterministic) so output is byte-stable across runs and
+parallelism levels — required because golden tests compare exact strings
+(LambdaSpec.scala:201-221 does the same).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..models import (
+    Error,
+    ErrorFileData,
+    FileError,
+    ValidationErrors,
+)
+
+
+def union_checks(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-check violation DataFrames (same schema by contract)."""
+    non_empty = [c for c in checks if c is not None]
+    if not non_empty:
+        raise ValueError("no violation frames to union")
+    return reduce(lambda a, b: a.unionByName(b), non_empty)
+
+
+def merge_violations(violations: DataFrame, key_name: str = "clip_id") -> DataFrame:
+    """Semigroup merge -> one row per asset.
+
+    Output: (asset_id, errors array<struct<validation_process,property,
+    error_key,message>>, data array<struct<name,value>>).
+
+    Data payload = distinct (name,value) pairs from all errors on the
+    asset, sorted by name, with the key column appended last — mirroring
+    the reference's payload of error-property values + key
+    (Lambda.scala:250-251).
+    """
+    err_struct = F.struct(
+        "validation_process", "property", "error_key", "message"
+    )
+    merged = violations.groupBy("asset_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list(err_struct))).alias("errors"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.coalesce(
+                F.col("data"), F.array().cast(violations.schema["data"].dataType)
+            ))))
+        ).alias("data"),
+    )
+    key_entry = F.struct(
+        F.lit(key_name).alias("name"), F.col("asset_id").alias("value")
+    )
+    # drop any key-named entry collected from rules, then append the key last
+    data_wo_key = F.filter(F.col("data"), lambda d: d["name"] != F.lit(key_name))
+    return merged.select(
+        "asset_id",
+        "errors",
+        F.concat(data_wo_key, F.array(key_entry)).alias("data"),
+    )
+
+
+def run_verdict(merged: DataFrame) -> FileError:
+    """Any violations -> SCHEMA_VALIDATION, else None (Lambda.scala:225-228)."""
+    return FileError.SCHEMA_VALIDATION if not merged.isEmpty() else FileError.NONE
+
+
+def collect_error_file(
+    merged: DataFrame,
+    consignment_id: str,
+    file_error: FileError,
+    include_key_in_data: bool = True,
+    date: str | None = None,
+) -> ErrorFileData:
+    """Driver-side assembly of the final verdict document (golden tests /
+    small runs; at scale use ``write_violations_json`` instead and keep
+    only the per-partition verdicts).
+
+    Deterministic: assets sorted by asset_id; errors/data pre-sorted by
+    the merge aggregate.
+    """
+    rows = merged.orderBy("asset_id").collect()
+    ves = []
+    for r in rows:
+        errs = [
+            Error(e["validation_process"], e["property"], e["error_key"], e["message"])
+            for e in r["errors"]
+        ]
+        data = [(d["name"], d["value"]) for d in (r["data"] or [])]
+        if not include_key_in_data:
+            data = []
+        ves.append(ValidationErrors(r["asset_id"], errs, data))
+    return ErrorFileData(
+        consignmentId=consignment_id,
+        fileError=file_error,
+        validationErrors=ves,
+        date=date,
+    )
+
+
+def write_violations_json(merged: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed sink: one JSON line per asset (S4 analog at scale).
+
+    The reference PUTs a single JSON document to S3 (Lambda.scala:316-325);
+    at 10^12 rows the violations themselves are big data, so the scale
+    sink is a partitioned JSON-lines dataset and the single-document form
+    is reserved for small/report use.
+    """
+    merged.write.mode(mode).json(path)

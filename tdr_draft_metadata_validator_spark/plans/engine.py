@@ -1,0 +1,165 @@
+"""The validation engine: gate lifecycle + row checks + merge + verdict.
+
+Reproduces the reference's query lifecycle (Lambda.scala:105-128 —
+doValidation's fail-fast IO chain) Spark-first:
+
+    metadata gates (driver-only, zero cluster work)
+      -> decode gate (derived from the single audio decode pass)
+      -> row checks:   compiled rule pass            (one scan, codegen)
+                       duplicate detection           (salted two-phase agg)
+                       missing / unknown             (key-pruned anti-joins)
+                       protected fields              (key+field inner join)
+                       audio invariants              (one Arrow decode pass)
+      -> union + semigroup merge (one hash-agg)
+      -> verdict + per-partition metrics
+
+First failing gate wins and later stages never run (Lambda.scala:107-115
+semantics). All row checks are lazy DataFrames; nothing executes until the
+verdict/sink actions.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..models import (
+    ErrorFileData,
+    FileError,
+    ValidationParameters,
+)
+from ..operators import gates as G
+from ..operators import relational as R
+from ..operators.audio import audio_invariants, has_undecodable
+from ..operators.merge import (
+    collect_error_file,
+    merge_violations,
+    union_checks,
+)
+from ..operators.rules import Rule, clips_base_rules, compile_rules
+from .metrics import partition_metrics
+
+
+@dataclass
+class ValidationResult:
+    """Outcome of a run: verdict + lazy frames for the scale sinks."""
+
+    params: ValidationParameters
+    file_error: FileError
+    gate_error_file: ErrorFileData | None = None  # set when a gate tripped
+    merged: DataFrame | None = None               # per-asset violations
+    metrics: DataFrame | None = None              # per-partition verdicts
+    wall_ms: int = 0
+    extra: dict = dc_field(default_factory=dict)
+
+    @property
+    def passed(self) -> bool:
+        return self.file_error == FileError.NONE
+
+    def error_file(self, date: str | None = None) -> ErrorFileData:
+        """Assemble the single-document verdict (always written, even on
+        success — Lambda.scala:81, golden empty-error-file.json)."""
+        if self.gate_error_file is not None:
+            if date is not None:
+                self.gate_error_file.date = date
+            return self.gate_error_file
+        ef = collect_error_file(
+            self.merged,
+            self.params.consignment_id,
+            self.file_error,
+            date=date,
+        )
+        return ef
+
+
+def drop_empty_rows(clips: DataFrame) -> DataFrame:
+    """G5 (CSVHandler.scala:34): drop rows where every value is empty.
+    Typed analog: every column null (strings also count '' as empty)."""
+    conds = []
+    for f in clips.schema.fields:
+        c = F.col(f.name)
+        if f.dataType.simpleString() == "string":
+            conds.append(c.isNotNull() & (c != ""))
+        else:
+            conds.append(c.isNotNull())
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep | c
+    return clips.where(keep)
+
+
+def validate(
+    spark: SparkSession,
+    clips: DataFrame,
+    ref: DataFrame | None,
+    params: ValidationParameters,
+    rules: list[Rule] | None = None,
+    raw_headers: list[str] | None = None,
+    with_audio: bool = True,
+    with_metrics: bool = True,
+    n_logical_partitions: int = 64,
+) -> ValidationResult:
+    t0 = time.monotonic()
+    cid = params.consignment_id
+    key = params.unique_asset_id_key
+
+    # ---- file-level gates (fail-fast; driver metadata only) --------------
+    for gate in (
+        (lambda: G.duplicate_headers_gate(raw_headers, cid)) if raw_headers else (lambda: None),
+        lambda: G.required_columns_gate(clips, cid, key_col=key),
+        lambda: G.additional_columns_gate(clips, cid),
+    ):
+        failure = gate()
+        if failure is not None:
+            return ValidationResult(
+                params, failure.file_error, gate_error_file=failure.error_file,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+            )
+
+    clips = drop_empty_rows(clips)
+
+    # ---- decode gate (UTF-8 analog) — ONE decode pass, reused ------------
+    checks: list[DataFrame] = []
+    if with_audio:
+        audio_v = audio_invariants(
+            clips, ref, key=key, snr_threshold_db=params.snr_threshold_db
+        )
+        audio_v = audio_v.persist()
+        if has_undecodable(audio_v):
+            failure = G.decode_gate_failure(cid)
+            audio_v.unpersist()
+            return ValidationResult(
+                params, failure.file_error, gate_error_file=failure.error_file,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+            )
+        checks.append(audio_v)
+
+    # ---- row-level checks (all run, results merged; Lambda.scala:215-229)
+    checks.append(compile_rules(clips, rules if rules is not None else clips_base_rules(), key))
+    checks.append(R.duplicate_rows(clips, key))
+    if ref is not None:
+        checks.append(R.missing_rows(clips, ref, key))  # always runs (trap list)
+        if params.check_against_uploaded_records:
+            checks.append(R.unknown_rows(clips, ref, key))
+            checks.append(R.protected_fields(clips, ref, params.protected_fields, key))
+
+    violations = union_checks(checks)
+    merged = merge_violations(violations, key_name=key).persist()
+
+    file_error = FileError.SCHEMA_VALIDATION if not merged.isEmpty() else FileError.NONE
+
+    metrics = None
+    if with_metrics:
+        metrics = partition_metrics(
+            clips, merged, params, n_logical_partitions=n_logical_partitions, key=key
+        )
+
+    return ValidationResult(
+        params,
+        file_error,
+        merged=merged,
+        metrics=metrics,
+        wall_ms=int((time.monotonic() - t0) * 1000),
+    )

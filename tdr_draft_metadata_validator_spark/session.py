@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Local-mode testing defaults; the same builder config is what we'd ship in
+``spark-submit --py-files`` on a real cluster (only master/memory differ).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tdr-validator-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for the validation engine.
+
+    - AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+    - Arrow on (pandas UDF fast path for the audio decode stage).
+    - ``spark.sql.shuffle.partitions`` sized to cores for local mode; a real
+      cluster run would set this to ~2-3x total executor cores.
+    - Arrow batch size capped so binary audio payloads don't blow the
+      executor heap inside a pandas UDF batch (clips can be ~1MB each).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[{}]".format(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cores = _core_count(master)
+    shuffle_partitions = shuffle_partitions or cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _core_count(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local["):-1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -1,0 +1,61 @@
+import numpy as np
+import pytest
+
+from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+    decode,
+    decode_wav_pcm16,
+    encode_wav_pcm16,
+    snr_db,
+)
+
+
+def test_wav_roundtrip():
+    samples = (np.sin(np.linspace(0, 40, 1600)) * 20000).astype(np.int16)
+    payload = encode_wav_pcm16(samples, 16000)
+    sr, out = decode_wav_pcm16(payload)
+    assert sr == 16000
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_decode_truncated_header():
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFF\x00\x00")
+
+
+def test_decode_bad_magic():
+    payload = encode_wav_pcm16(np.zeros(10, np.int16), 8000)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"XXXX" + payload[4:])
+
+
+def test_decode_truncated_data():
+    payload = encode_wav_pcm16(np.ones(100, np.int16), 8000)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(payload[:-10])
+
+
+def test_codec_dispatch_stubs():
+    payload = encode_wav_pcm16(np.ones(10, np.int16), 8000)
+    for codec in ("pcm_s16le", "flac", "opus"):
+        sr, _ = decode(payload, codec)
+        assert sr == 8000
+    with pytest.raises(ValueError):
+        decode(payload, "mp3~bad")
+
+
+def test_snr_identical_is_inf():
+    a = np.arange(100, dtype=np.int16)
+    assert snr_db(a, a) == float("inf")
+
+
+def test_snr_noise_threshold():
+    rng = np.random.RandomState(0)
+    ref = (rng.randn(16000) * 10000).astype(np.int16)
+    noisy = (ref + rng.randn(16000) * 50).astype(np.int16)
+    assert snr_db(ref, noisy) > 30
+    very_noisy = (ref + rng.randn(16000) * 8000).astype(np.int16)
+    assert snr_db(ref, very_noisy) < 30
+
+
+def test_snr_length_mismatch():
+    assert snr_db(np.ones(5, np.int16), np.ones(6, np.int16)) == float("-inf")

@@ -1,0 +1,78 @@
+"""End-to-end minimal slice: datagen -> rules -> merge -> verdict JSON.
+
+Mirrors the reference's golden-file strategy (LambdaSpec.scala:201-221):
+exact-string compare of the emitted error document.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tdr_draft_metadata_validator_spark import datagen
+from tdr_draft_metadata_validator_spark.models import (
+    FileError,
+    ValidationParameters,
+)
+from tdr_draft_metadata_validator_spark.plans.engine import validate
+
+CID = "f82af3bf-b742-454c-9771-bfd6c5eae749"
+
+
+@pytest.fixture()
+def params():
+    return ValidationParameters(consignment_id=CID)
+
+
+def make_tables(spark, n=6, mutate=None):
+    clips_pdf = datagen.clips_batch(range(n))
+    ref_pdf = datagen.ref_batch(range(n))
+    if mutate:
+        clips_pdf = mutate(clips_pdf)
+    return datagen.clips_df(spark, clips_pdf), datagen.ref_df(spark, ref_pdf)
+
+
+def test_clean_run_emits_empty_error_file(spark, params):
+    clips, ref = make_tables(spark)
+    result = validate(spark, clips, ref, params)
+    assert result.passed
+    assert result.file_error == FileError.NONE
+    doc = result.error_file(date="$today").to_json()
+    assert doc == (
+        "{\n"
+        f'  "consignmentId" : "{CID}",\n'
+        '  "date" : "$today",\n'
+        '  "fileError" : "None",\n'
+        '  "validationErrors" : [\n'
+        "  ]\n"
+        "}"
+    )
+
+
+def test_codec_whitelist_violation(spark, params):
+    def mutate(pdf):
+        pdf.loc[2, "codec"] = "mp3~bad"
+        return pdf
+
+    clips, ref = make_tables(spark, mutate=mutate)
+    # mp3~bad also makes the payload "undecodable" for the audio stage
+    # (unknown codec); disable audio here to isolate the enum rule.
+    result = validate(spark, clips, ref, params, with_audio=False)
+    assert result.file_error == FileError.SCHEMA_VALIDATION
+    rows = result.merged.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["asset_id"] == datagen.clip_id_of(2)
+    errs = [(e["validation_process"], e["property"], e["error_key"]) for e in r["errors"]]
+    assert ("SCHEMA_BASE", "codec", "enum") in errs
+    data = [(d["name"], d["value"]) for d in r["data"]]
+    assert ("codec", "mp3~bad") in data
+    assert data[-1] == ("clip_id", datagen.clip_id_of(2))
+
+
+def test_metrics_rows(spark, params):
+    clips, ref = make_tables(spark)
+    result = validate(spark, clips, ref, params, n_logical_partitions=8)
+    m = result.metrics.collect()
+    assert sum(r["n_rows"] for r in m) == 6
+    assert all(r["pass"] for r in m)
+    assert all(r["run_id"] == params.run_id for r in m)
