@@ -1,38 +1,595 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 (plus
+the training-data pipeline ops) over the driver's TPC-H-ish parquet
+tables; ``oracle_sql()`` carries the DuckDB-equivalent ANSI SQL. Column
+names and rounding are aligned on both sides so the driver's
+order-insensitive value-hash matches.
+
+Portability notes baked into the queries:
+- hash lanes use md5-derived 32-bit values (Spark ``conv(substr(md5))``
+  == DuckDB ``('0x'||substr(md5))::BIGINT``), never engine-specific hashes;
+- float aggregates are rounded to 6 (ratios/cosines) or 1 (big sums);
+- embeddings are cast to double on both sides before dot products.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from tdr_draft_metadata_validator_spark.operators import relational as R
+from tdr_draft_metadata_validator_spark.operators.merge import merge_violations, union_checks
+from tdr_draft_metadata_validator_spark.operators.rules import (
+    compile_rules,
+    enum_rule,
+    range_rule,
+    required_rule,
+)
+from tdr_draft_metadata_validator_spark.pipeline import dedup, similarity, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the validation engine's row-check + merge path over the
+    sf0.001 events table (events as the asset stream: rule compiler,
+    salted duplicate agg, semigroup merge — SURVEY.md §2.2/2.4)."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    rules = [
+        enum_rule("event_type", ["click", "view", "purchase", "signup"]),
+        range_rule("value", lo=0.0, hi=480.0),
+        required_rule("user_id"),
+    ]
+    checks = [
+        compile_rules(events, rules, key_col="event_id"),
+        R.duplicate_rows(events.select(F.col("event_id").alias("clip_id")), "clip_id"),
+    ]
+    merged = merge_violations(union_checks(checks), key_name="event_id")
+    return merged.select(
+        "asset_id",
+        F.size("errors").alias("n_errors"),
+        F.concat_ws(",", F.transform(F.col("errors"), lambda e: e["error_key"])).alias("error_keys"),
+    ).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_missing_rows(spark, sf):
+    """J1 right-anti: expected custkeys absent from the (filtered) actual."""
+    customer = _t(spark, sf, "customer").select(F.col("c_custkey").alias("clip_id"))
+    orders = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_custkey") % 3 != 0)
+        .select(F.col("o_custkey").alias("clip_id"))
+    )
+    return R.missing_rows(orders, customer).select("asset_id", "error_key")
+
+
+def q_unknown_rows(spark, sf):
+    """J2 left-anti: documents with no embedding (ref truncated to <400)."""
+    docs = _t(spark, sf, "documents").select(F.col("doc_id").alias("clip_id"))
+    ref = (
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 400)
+        .select(F.col("vec_id").alias("clip_id"))
+    )
+    return R.unknown_rows(docs, ref).select("asset_id", "error_key")
+
+
+def q_duplicate_rows(spark, sf):
+    """A1 salted two-phase duplicate detection on l_orderkey."""
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("clip_id"))
+    return R.duplicate_rows(li, "clip_id").select("asset_id", "error_key")
+
+
+def q_merge_semigroup(spark, sf):
+    """A3: two checks merged per asset (duplicate + price-range rule)."""
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("clip_id"))
+    orders = _t(spark, sf, "orders")
+    checks = [
+        R.duplicate_rows(li, "clip_id"),
+        compile_rules(orders, [range_rule("o_totalprice", hi=400000.0)], key_col="o_orderkey"),
+    ]
+    merged = merge_violations(union_checks(checks), key_name="clip_id")
+    return merged.select("asset_id", F.size("errors").alias("n_errors"))
+
+
+def q_rule_enum(spark, sf):
+    """U2 rule compiler: single enum rule over events."""
+    events = _t(spark, sf, "events")
+    v = compile_rules(
+        events,
+        [enum_rule("event_type", ["click", "view", "purchase", "signup"])],
+        key_col="event_id",
+    )
+    return v.select("asset_id", "property", "error_key")
+
+
+def q_rule_multi(spark, sf):
+    """U2: several rules in ONE projection pass over one scan."""
+    events = _t(spark, sf, "events")
+    rules = [
+        enum_rule("event_type", ["click", "view", "purchase", "signup"]),
+        range_rule("value", lo=0.0, hi=480.0),
+        required_rule("user_id"),
+    ]
+    v = compile_rules(events, rules, key_col="event_id")
+    return v.select("asset_id", "property", "error_key")
+
+
+def q_column_stats(spark, sf):
+    """A5 single-pass stats aggregate over lineitem."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(F.col("l_quantity").isNull().cast("double")), 6).alias("null_rate_qty"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.round(F.avg("l_quantity"), 6).alias("qty_avg"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_high_discount"),
+    )
+
+
+def q_partition_metrics(spark, sf):
+    """A4 per-partition verdict rows (portable mod-16 partitioner so the
+    oracle can replicate; the engine itself uses xxhash64 logical
+    partitions — plans/metrics.py)."""
+    orders = _t(spark, sf, "orders")
+    pid = (F.col("o_orderkey") % 16).cast("int").alias("partition_id")
+    viol = (F.col("o_totalprice") > 400000.0).cast("long")
+    per = orders.select(pid, viol.alias("v")).groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("n_violations")
+    )
+    return per.select(
+        "partition_id", "n_rows", "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+def q_histogram_bins(spark, sf):
+    """A6 drift building block: bin fractions of l_quantity over fixed
+    edges (the PSI/KS histogram input)."""
+    li = _t(spark, sf, "lineitem")
+    c = F.col("l_quantity").cast("double")
+    bucket = sum(
+        ((c > F.lit(float(e))).cast("int") for e in (10.0, 20.0, 30.0, 40.0)),
+        F.lit(0),
+    )
+    counts = li.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    total = li.count()
+    return counts.select(
+        "bucket", "n", F.round(F.col("n") / F.lit(float(total)), 6).alias("fraction")
+    )
+
+
+def q_topk_per_group(spark, sf):
+    """Window top-k: 3 priciest lineitems per returnflag."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+def q_groupby_agg(spark, sf):
+    """TPC-H Q1-shaped aggregate (big sums rounded to 1 for float parity)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup groups (corpus doubled under doc_id<50 so groups exist)."""
+    docs = _t(spark, sf, "documents")
+    doubled = docs.unionByName(docs.where(F.col("doc_id") < 50))
+    return dedup.exact_duplicates(doubled).select("text_md5", "n_docs")
+
+
+def q_dedup_keep_first(spark, sf):
+    """Exact dedup keep-one-representative (window over digest)."""
+    docs = _t(spark, sf, "documents")
+    doubled = docs.unionByName(
+        docs.where(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    kept = dedup.drop_exact_duplicates(doubled)
+    return kept.select("doc_id")
+
+
+def q_fingerprint(spark, sf):
+    """Document fingerprint + token count + language ID (one projection)."""
+    docs = _t(spark, sf, "documents")
+    out = text.fingerprint_docs(docs)
+    return out.select("doc_id", "fingerprint", "n_tokens", "lang_detected")
+
+
+def q_quality(spark, sf):
+    """Quality features subset (ratios rounded 6)."""
+    docs = _t(spark, sf, "documents")
+    feats = text.quality_features(docs)
+    return feats.select("doc_id", "n_tokens", "q_n_chars", "q_punct_ratio", "q_digit_ratio")
+
+
+def q_jaccard_pairs(spark, sf):
+    """Token-set Jaccard near-dup pairs (1-gram shingles for oracle
+    parity; production uses 3-grams)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
+    return dedup.jaccard_pairs(docs, threshold=0.6, n=1)
+
+
+def q_minhash_signatures(spark, sf):
+    """MinHash signature lanes (md5-based, engine-portable)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(docs, num_hashes=4, n=1)
+    return sigs.select(
+        "id", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
+    )
+
+
+def q_simhash(spark, sf):
+    """32-bit SimHash fingerprints over tokens."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return dedup.simhash(docs, bits=32)
+
+
+def q_embedding_near_dups(spark, sf):
+    """Exact cosine near-dup pairs (baseline; LSH variant is rows-only)."""
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 120).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.embedding_near_dups(emb, threshold=0.35)
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-k (k=5) for 3 query vectors."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_embedding_lsh_near_dups(spark, sf):
+    """LSH-bucketed near-dup (scale path) — rows-only check (hyperplanes
+    are numpy-seeded, not SQL-replicable)."""
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.lsh_near_dups(emb, threshold=0.3, n_planes=9, bands=3)
+
+
+def q_minhash_lsh_candidates(spark, sf):
+    """MinHash LSH banding candidates — rows-only check (band hashing of
+    signature arrays is impractical to mirror in ANSI SQL)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "missing_rows": q_missing_rows,
+        "unknown_rows": q_unknown_rows,
+        "duplicate_rows": q_duplicate_rows,
+        "merge_semigroup": q_merge_semigroup,
+        "rule_enum": q_rule_enum,
+        "rule_multi": q_rule_multi,
+        "column_stats": q_column_stats,
+        "partition_metrics": q_partition_metrics,
+        "histogram_bins": q_histogram_bins,
+        "topk_per_group": q_topk_per_group,
+        "groupby_agg": q_groupby_agg,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
+        "fingerprint": q_fingerprint,
+        "quality": q_quality,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_LANE = "('0x' || substr(md5({seed} || chr(31) || {x}), 1, 8))::BIGINT"
+
+_DUP_MSG = (
+    "This file appears more than once in your metadata file. There must be "
+    "only one row in your metadata file for each file you uploaded"
+)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    lane = _LANE.format(seed="'7'", x="g")
+    bitsums = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, {_NORM} AS t
+      FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+      SELECT id, {lane} AS h
+      FROM (SELECT id, unnest(string_split(t, ' ')) AS g FROM d)
+    ),
+    b AS (
+      SELECT id,
+      {bitsums}
+      FROM f GROUP BY id
+    )
+    SELECT id, {fp} AS simhash FROM b
     """
-    return {}
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
+    mins = ",\n      ".join(
+        "min({lane}) AS h{i}".format(lane=_LANE.format(seed=f"'{i}'", x="g"), i=i)
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             list_distinct(string_split({_NORM}, ' ')) AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    f AS (SELECT id, unnest(toks) AS g FROM d)
+    SELECT id,
+      {mins}
+    FROM f GROUP BY id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_profiles = {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+        "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+        "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "las"],
+    }
+    def arr(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    lang_scores = ",\n        ".join(
+        f"len(list_intersect(toks, {arr(ws)})) AS s_{lang}"
+        for lang, ws in lang_profiles.items()
+    )
+
+    return {
+        "missing_rows": """
+            SELECT CAST(c_custkey AS VARCHAR) AS asset_id, 'missing' AS error_key
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_custkey % 3 <> 0)
+        """,
+        "unknown_rows": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id, 'unknown' AS error_key
+            FROM documents
+            WHERE doc_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id < 400)
+        """,
+        "duplicate_rows": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS asset_id, 'duplicate' AS error_key
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "merge_semigroup": """
+            WITH v AS (
+              SELECT CAST(l_orderkey AS VARCHAR) AS asset_id, 'duplicate' AS ek
+              FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+              UNION ALL
+              SELECT CAST(o_orderkey AS VARCHAR), 'range'
+              FROM orders WHERE o_totalprice > 400000
+            )
+            SELECT asset_id, CAST(count(DISTINCT ek) AS INT) AS n_errors
+            FROM v GROUP BY asset_id
+        """,
+        "rule_enum": """
+            SELECT CAST(event_id AS VARCHAR) AS asset_id,
+                   'event_type' AS property, 'enum' AS error_key
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click','view','purchase','signup')
+        """,
+        "rule_multi": """
+            WITH e AS (SELECT * FROM events)
+            SELECT CAST(event_id AS VARCHAR) AS asset_id,
+                   'event_type' AS property, 'enum' AS error_key
+            FROM e WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click','view','purchase','signup')
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'value', 'range'
+            FROM e WHERE value IS NOT NULL AND (value < 0.0 OR value > 480.0)
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'user_id', 'required'
+            FROM e WHERE user_id IS NULL OR CAST(user_id AS VARCHAR) = ''
+        """,
+        "column_stats": """
+            SELECT count(*) AS n_rows,
+                   round(avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_qty,
+                   min(l_quantity) AS qty_min,
+                   max(l_quantity) AS qty_max,
+                   round(avg(l_quantity), 6) AS qty_avg,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_discount
+            FROM lineitem
+        """,
+        "partition_metrics": """
+            SELECT CAST(o_orderkey % 16 AS INT) AS partition_id,
+                   count(*) AS n_rows,
+                   CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) = 0 AS pass
+            FROM orders GROUP BY 1
+        """,
+        "histogram_bins": """
+            WITH b AS (
+              SELECT (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 20 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS bucket
+              FROM lineitem
+            )
+            SELECT bucket, count(*) AS n,
+                   round(count(*) / (SELECT count(*)::DOUBLE FROM lineitem), 6) AS fraction
+            FROM b GROUP BY bucket
+        """,
+        "topk_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
+            FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                     CAST(row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                     ) AS INT) AS rank
+              FROM lineitem
+            ) WHERE rank <= 3
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 1) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+                   count(*) AS n_items,
+                   round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            WITH doubled AS (
+              SELECT * FROM documents
+              UNION ALL SELECT * FROM documents WHERE doc_id < 50
+            )
+            SELECT md5(text) AS text_md5, count(*) AS n_docs
+            FROM doubled GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_keep_first": """
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id FROM doubled
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+        "fingerprint": f"""
+            WITH d AS (
+              SELECT doc_id, {_NORM} AS t FROM documents
+            ),
+            s AS (
+              SELECT doc_id, t, md5(t) AS fingerprint,
+                     CASE WHEN t = '' THEN 0
+                          ELSE CAST(len(string_split(t, ' ')) AS INT) END AS n_tokens,
+                     list_distinct(string_split(t, ' ')) AS toks
+              FROM d
+            ),
+            sc AS (
+              SELECT doc_id, fingerprint, n_tokens,
+                {lang_scores}
+              FROM s
+            )
+            SELECT doc_id, fingerprint, n_tokens,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS lang_detected
+            FROM sc
+        """,
+        "quality": f"""
+            WITH d AS (SELECT doc_id, text, {_NORM} AS t FROM documents)
+            SELECT doc_id,
+                   CASE WHEN t = '' THEN 0
+                        ELSE CAST(len(string_split(t, ' ')) AS INT) END AS n_tokens,
+                   CAST(len(text) AS INT) AS q_n_chars,
+                   round(len(regexp_replace(text, '[^\\.,;:!\\?"'']', '', 'g'))
+                         / greatest(len(text), 1)::DOUBLE, 6) AS q_punct_ratio,
+                   round(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(len(text), 1)::DOUBLE, 6) AS q_digit_ratio
+            FROM d
+        """,
+        "jaccard_pairs": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_distinct(string_split({_NORM}, ' ')) AS toks
+              FROM documents WHERE doc_id < 150
+            ),
+            f AS (SELECT id, len(toks) AS sz, unnest(toks) AS g FROM d),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+                     count(*) AS common
+              FROM f a JOIN f b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(common / (sz_a + sz_b - common)::DOUBLE, 6) AS jaccard
+            FROM p
+            WHERE round(common / (sz_a + sz_b - common)::DOUBLE, 6) >= 0.6
+        """,
+        "minhash_signatures": _minhash_sql(4),
+        "simhash": _simhash_sql(32),
+        "embedding_near_dups": """
+            WITH e AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 120
+            ),
+            n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.id < b.id
+            WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
+        """,
+        "ann_topk": """
+            WITH e AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ),
+            q AS (SELECT * FROM e WHERE CAST(id AS INT) < 3),
+            scored AS (
+              SELECT q.id AS query_id, e.id AS neighbor_id,
+                     round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cosine
+              FROM e CROSS JOIN q WHERE e.id <> q.id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                     ) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # embedding_lsh_near_dups / minhash_lsh_candidates: rows-only
+        # (numpy-seeded hyperplanes / array band hashing not SQL-replicable)
+    }

@@ -1,0 +1,115 @@
+"""Benchmark harness (driver-run per round).
+
+Prints ONE JSON line:
+  {"metric": "clips_validated_per_sec", "value": N, "unit": "sec"? ...}
+
+Two parts:
+1. **Flagship metric** — full validation job (rule pass + salted dup agg +
+   anti-joins + protected fields + audio decode/SNR/transcript invariants +
+   merge + metrics) over a deterministic synthetic clips table
+   (seed=42, SPARK_GRAFT_BENCH_CLIPS rows, cached under .bench_data/).
+   value = clips validated per second (matches BASELINE.json's metric).
+2. **Per-query timings** at $SPARK_GRAFT_SF_DIR (default sf0.1) for the
+   relational/pipeline operators, recorded in "queries".
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py -> BENCH/BASELINE.md (run separately; this file
+stays single-session so the driver's per-round run is fast).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "60000"))
+BENCH_DATA = pathlib.Path(os.path.dirname(os.path.abspath(__file__))) / ".bench_data"
+
+BENCH_QUERIES = [
+    "missing_rows", "unknown_rows", "duplicate_rows", "merge_semigroup",
+    "rule_multi", "column_stats", "partition_metrics", "groupby_agg",
+    "topk_per_group", "dedup_exact", "fingerprint", "jaccard_pairs",
+    "minhash_lsh_candidates", "simhash", "ann_topk",
+]
+
+
+def ensure_bench_tables(spark, n: int):
+    from tdr_draft_metadata_validator_spark import datagen
+
+    clips_path = BENCH_DATA / f"clips_{n}.parquet"
+    ref_path = BENCH_DATA / f"ref_{n}.parquet"
+    if not clips_path.exists():
+        datagen.generate_clips(spark, n, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(str(clips_path))
+    if not ref_path.exists():
+        datagen.generate_ref_clips(spark, n, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(str(ref_path))
+    return str(clips_path), str(ref_path)
+
+
+def run_validation(spark, clips_path: str, ref_path: str) -> tuple[float, int]:
+    from tdr_draft_metadata_validator_spark.models import ValidationParameters
+    from tdr_draft_metadata_validator_spark.plans.engine import validate
+
+    clips = spark.read.parquet(clips_path)
+    ref = spark.read.parquet(ref_path)
+    params = ValidationParameters(consignment_id="bench", run_id="bench")
+    t0 = time.monotonic()
+    result = validate(spark, clips, ref, params, n_logical_partitions=256)
+    # force full materialization of every output the engine produces
+    n_violation_assets = result.merged.count() if result.merged is not None else 0
+    n_rows = (
+        result.metrics.agg({"n_rows": "sum"}).collect()[0][0]
+        if result.metrics is not None
+        else clips.count()
+    )
+    wall = time.monotonic() - t0
+    assert result.passed, f"bench table must validate clean, got {result.file_error} ({n_violation_assets} assets)"
+    return wall, int(n_rows)
+
+
+def main():
+    from tdr_draft_metadata_validator_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    clips_path, ref_path = ensure_bench_tables(spark, N_CLIPS)
+    # warm the JVM/Arrow path once with a tiny slice, then measure
+    wall, n_rows = run_validation(spark, clips_path, ref_path)
+    clips_per_sec = n_rows / wall
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {"validate_full": round(wall, 3)}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        _ = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    print(json.dumps({
+        "metric": "clips_validated_per_sec",
+        "value": round(clips_per_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "n_clips": n_rows,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

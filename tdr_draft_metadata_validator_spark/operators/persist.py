@@ -1,0 +1,84 @@
+"""Persistence path (S7): protected-field filter -> unpivot -> typed
+coercion -> batched sink.
+
+Reference: persistence Lambda.scala:134-155 — rows are unpivoted into
+``AddOrUpdateMetadata(name, value)`` pairs (MetadataUtils.scala:47-82)
+with two coercions, then written in 400-row batches under a 10-way
+semaphore. Spark-first: ``melt`` (stack) + vectorized coercions + a
+partitioned write — Spark partitions replace the semaphore; batch size
+becomes a partition-count decision, not driver code.
+
+Coercion contract (MetadataUtils.scala:59-81 + persistence
+LambdaSpec.scala:138-198 goldens, trap list SURVEY.md §7):
+- date   -> start-of-day timestamp string ``yyyy-MM-dd HH:mm:ss.S``
+            (golden ``"1990-01-01 00:00:00.0"``)
+- boolean-> 'Yes' (case-insensitive) -> 'true', anything else -> 'false'
+- empty  -> stays ``""`` with NO coercion (even for typed columns)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def coerce_date(col):
+    """F7: yyyy-MM-dd -> 'yyyy-MM-dd 00:00:00.0' (exact golden format)."""
+    ts = F.date_format(F.to_timestamp(col, "yyyy-MM-dd"), "yyyy-MM-dd HH:mm:ss.S")
+    return ts
+
+
+def coerce_bool(col):
+    """F8: yes/no -> true/false; non-'yes' (incl. null) -> 'false'."""
+    return F.when(F.lower(col) == "yes", F.lit("true")).otherwise(F.lit("false"))
+
+
+def unpivot_for_persistence(
+    df: DataFrame,
+    key_col: str,
+    property_types: dict[str, str],
+    protected: tuple[str, ...] = (),
+) -> DataFrame:
+    """-> (key, file_id?, name, value) long-form rows.
+
+    ``property_types`` maps column -> 'date' | 'boolean' | 'text'
+    (getPropertyType analog, Lambda.scala:213 / MetadataUtils.scala:58).
+    Protected ('System'-type) columns are dropped before the unpivot
+    (MetadataUtils.scala:33-43).
+    """
+    cols = [c for c in df.columns if c != key_col and c not in protected]
+    coerced = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        ptype = property_types.get(c, "text")
+        if ptype == "date":
+            cv = coerce_date(v)
+        elif ptype == "boolean":
+            cv = coerce_bool(v)
+        else:
+            cv = v
+        # empty stays "" uncoerced; null treated per type (bool -> 'false')
+        if ptype == "boolean":
+            out = cv
+        else:
+            out = F.when(v.isNull() | (v == ""), F.coalesce(v, F.lit(""))).otherwise(cv)
+        coerced.append(F.struct(F.lit(c).alias("name"), out.alias("value")))
+    long = df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.explode(F.array(*coerced)).alias("kv"),
+    )
+    return long.select(key_col, F.col("kv.name").alias("name"), F.col("kv.value").alias("value"))
+
+
+def write_batched(
+    long_df: DataFrame,
+    path: str,
+    rows_per_batch: int = 400 * 1000,
+    mode: str = "overwrite",
+) -> None:
+    """Batched sink. The reference's 400-row GraphQL batches
+    (application.conf:27-28) map to output partition sizing here: we size
+    partitions so each output file holds ~rows_per_batch rows, then write
+    once — executors write in parallel (the Semaphore(10) analog is the
+    cluster's task slots)."""
+    n = max(1, int(long_df.count() / rows_per_batch) or 1)
+    long_df.repartition(n).write.mode(mode).parquet(path)

@@ -1,0 +1,147 @@
+"""Per-column stats (A5) and distribution-drift checks (A6, north_rule).
+
+A5 is ONE ``df.agg`` pass (partial aggregation map-side, tiny final
+reduce): null rates, min/max/avg dur_ms, sr_hz domain conformance, codec
+whitelist conformance, approximate cardinality (HyperLogLog++ via
+``approx_count_distinct``) and duration quantiles (``percentile_approx``,
+a mergeable KLL-style sketch — the built-in replaces a hand-rolled
+t-digest + treeAggregate; SURVEY.md §2.4 A6).
+
+A6 compares the current table's distributions against the reference
+table's:
+
+- **PSI** (population stability index) over bins anchored at the
+  reference's deciles: one narrow agg per side, P+2 bins, driver-side
+  final arithmetic on ~10 numbers.
+- **KS** statistic approximated as the max CDF gap probed at the merged
+  quantile grid of both sides.
+- **cardinality drift** via HLL estimates.
+
+Everything that scans data is a Spark aggregate over ONE column; only
+O(bins) scalars reach the driver — this is the 100 TB-safe shape.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.audio_codec import CODEC_WHITELIST
+
+SR_DOMAIN = (8000, 16000, 22050, 44100)
+
+
+def column_stats(
+    clips: DataFrame,
+    sr_domain=SR_DOMAIN,
+    codec_whitelist=CODEC_WHITELIST,
+) -> dict:
+    """A5: single-pass per-column stats (north_rule list)."""
+    n = F.count(F.lit(1))
+    aggs = [
+        n.alias("n_rows"),
+        *[
+            F.avg(F.col(c).isNull().cast("double")).alias(f"null_rate_{c}")
+            for c in ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+        ],
+        F.min("dur_ms").alias("dur_ms_min"),
+        F.max("dur_ms").alias("dur_ms_max"),
+        F.avg("dur_ms").alias("dur_ms_avg"),
+        F.percentile_approx("dur_ms", [0.5, 0.95, 0.99], 10_000).alias("dur_ms_q"),
+        F.sum((~F.col("sr_hz").isin(list(sr_domain))).cast("long")).alias(
+            "sr_hz_out_of_domain"
+        ),
+        F.sum((~F.col("codec").isin(list(codec_whitelist))).cast("long")).alias(
+            "codec_not_whitelisted"
+        ),
+        F.approx_count_distinct("clip_id").alias("clip_id_approx_distinct"),
+        F.approx_count_distinct("sr_hz").alias("sr_hz_approx_distinct"),
+    ]
+    row = clips.agg(*aggs).collect()[0]
+    return row.asDict()
+
+
+# ---------------------------------------------------------------------------
+# drift
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DriftReport:
+    column: str
+    psi: float
+    ks: float
+    ref_distinct: int
+    cur_distinct: int
+
+    def breaches(self, psi_threshold: float = 0.2, ks_threshold: float = 0.2) -> bool:
+        return self.psi > psi_threshold or self.ks > ks_threshold
+
+
+def _quantiles(df: DataFrame, col: str, probs: list[float], acc: int = 10_000) -> list[float]:
+    row = df.agg(F.percentile_approx(col, probs, acc).alias("q")).collect()[0]
+    return [float(x) for x in row["q"]]
+
+
+def _bin_fractions(df: DataFrame, col: str, edges: list[float]) -> list[float]:
+    """Histogram fractions over (-inf, e1], (e1, e2], ..., (eK, +inf) —
+    one narrow agg; bins assigned with a fold over the edge literals."""
+    c = F.col(col).cast("double")
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + (c > F.lit(float(e))).cast("int")
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    total = sum(r["__n"] for r in counts) or 1
+    frac = [0.0] * (len(edges) + 1)
+    for r in counts:
+        frac[int(r["__b"])] = r["__n"] / total
+    return frac
+
+
+def psi(p: list[float], q: list[float], eps: float = 1e-6) -> float:
+    return sum(
+        (pi - qi) * math.log((pi + eps) / (qi + eps)) for pi, qi in zip(p, q)
+    )
+
+
+def ks_from_fractions(p: list[float], q: list[float]) -> float:
+    """Max CDF gap over the shared bin edges."""
+    cp = cq = 0.0
+    worst = 0.0
+    for pi, qi in zip(p, q):
+        cp += pi
+        cq += qi
+        worst = max(worst, abs(cp - cq))
+    return worst
+
+
+def drift_check(
+    current: DataFrame,
+    reference: DataFrame,
+    column: str,
+    ref_column: str | None = None,
+    n_bins: int = 10,
+) -> DriftReport:
+    """A6: PSI + KS of ``column`` vs the reference distribution.
+
+    Bin edges = the reference's internal quantiles (deciles by default),
+    so PSI is anchored where the reference has mass. 3 aggregates total,
+    each over one numeric column; O(n_bins) scalars on the driver.
+    """
+    ref_column = ref_column or column
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = sorted(set(_quantiles(reference, ref_column, probs)))
+    p = _bin_fractions(reference, ref_column, edges)
+    q = _bin_fractions(current, column, edges)
+    rd, cd = (
+        reference.agg(F.approx_count_distinct(ref_column)).collect()[0][0],
+        current.agg(F.approx_count_distinct(column)).collect()[0][0],
+    )
+    return DriftReport(column=column, psi=psi(p, q), ks=ks_from_fractions(p, q),
+                       ref_distinct=int(rd), cur_distinct=int(cd))

@@ -1,0 +1,279 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five strategies, cheapest to most semantic. All are shuffle-conscious:
+exact dedup groups on a 128-bit digest (never the full text); the
+near-dup families shuffle (shingle, doc) pairs or small signatures, and
+candidate generation is always a bucket equi-join — the classic
+MinHash/LSH shape (Broder 1997; Leskovec et al., "Mining of Massive
+Datasets" ch.3) — never an O(n^2) cross join.
+
+Portability note: signatures use md5-derived 32-bit lanes
+(``conv(substr(md5(x),1,8),16,10)``) instead of xxhash64 so the DuckDB
+oracle can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _md5_lane(col: Column, seed: int) -> Column:
+    """Portable 32-bit hash lane: md5(seed||x) first 8 hex digits -> long."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) + "\x1f"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = F.split(normalize_text(col), " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array_distinct(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup — hash groupBy
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts (after md5 digest; the shuffle moves
+    32-byte digests + ids, never document bodies).
+
+    -> (text_md5, n_docs, doc_ids sorted) for groups with n_docs > 1.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(F.col(id_col).cast("string"))).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative per identical text (min id wins —
+    deterministic). Window over the digest: one shuffle on md5."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard near-dup — shingle inverted index join
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs sharing >=1 shingle, scored with exact Jaccard.
+
+    Inverted-index self-join: explode shingles -> join on shingle ->
+    count common shingles per pair -> |A∪B| = |A|+|B|-common. The join
+    key is a shingle digest (md5), so the shuffle payload is (digest, id,
+    set-size). Hot shingles (stopword runs) are the skew risk at scale —
+    ``df_cap`` drops shingles appearing in more than ``df_cap`` docs
+    (standard document-frequency pruning; they contribute candidates that
+    exact scoring would reject anyway).
+    """
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    flat = base.select("id", "sz", F.explode("sh").alias("g")).withColumn(
+        "g", F.md5("g")
+    )
+    a = flat.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
+    b = flat.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
+    pairs = (
+        a.join(b, on="g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, sig array<long>[num_hashes]): sig[i] = min over shingles of
+    lane-i hash. One explode + one groupBy(id) with num_hashes min()
+    partials — map-side combined, shuffle is (id, 32 longs)."""
+    flat = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    aggs = [F.min(_md5_lane(F.col("g"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    sigs = flat.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands``; docs agreeing on ANY full band are candidates.
+    Bucket join on (band_idx, band_hash) — equi-join, broadcastable when
+    one side is small, AQE-skew-splittable otherwise.
+
+    -> (id_a, id_b, n_bands_matched) distinct candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = []
+    for bidx in range(bands):
+        piece = F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.md5(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string")))).alias("bh"),
+            )
+        )
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bh")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """32-bit SimHash (Charikar 2002) built from token hash sign-sums.
+
+    Pure DataFrame ops: explode tokens, one groupBy(id) computing, per
+    bit, sum(+1/-1) via the token hash's bit — then reassemble the
+    fingerprint. Shuffle: (id, 32 small ints) partials.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    flat = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.explode(toks).alias("t")
+    ).withColumn("h", _md5_lane(F.col("t"), 7))
+    bit_sums = flat.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(1 << i).cast("long")
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash, candidate-generated
+    by 4-way fingerprint chunking (a pair within Hamming<=3 must agree on
+    >=1 of 4 chunks — pigeonhole) then exact popcount filter."""
+    fps = simhash(docs, bits, id_col, text_col)
+    chunk = bits // 4
+    mask = (1 << chunk) - 1
+    pieces = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(F.col("simhash"), i * chunk).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for i in range(4)
+    ]
+    bl = fps.select("id", "simhash", F.explode(F.array(*pieces)).alias("c")).select(
+        "id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = bl.select(F.col("id").alias("id_a"), F.col("simhash").alias("s_a"), "ci", "cv")
+    b = bl.select(F.col("id").alias("id_b"), F.col("simhash").alias("s_b"), "ci", "cv")
+    cand = (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return cand.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine over all pairs — the CORRECTNESS baseline (small/medium
+    sets; the scale path buckets first, see pipeline/similarity.py).
+
+    Self-join is a range-split cross join; norms precomputed once. At
+    100 TB one would never run this unbucketed — use
+    ``similarity.lsh_near_dups`` instead.
+    """
+    withn = emb.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    a = withn.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = withn.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (F.col("n_a") * F.col("n_b")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+
+- ``brute_force_topk`` — exact cosine top-k, the correctness baseline.
+  Query side broadcast (queries are few); dot products via
+  ``zip_with``/``aggregate`` (JVM-side, codegen — no Python); top-k with
+  a window over each query (one shuffle of (query, candidate, score)).
+- ``lsh_buckets`` / ``lsh_near_dups`` — random-hyperplane LSH (sign-bit
+  signature; Charikar 2002): candidates meet in bucket equi-joins, the
+  100 TB path. Hyperplanes are seed-deterministic and shipped as plan
+  literals (no closures, no broadcast variables needed at this size).
+
+An IVF variant (k-means coarse quantizer) would slot in the same shape:
+assign -> equi-join on centroid id -> exact re-rank; omitted because the
+LSH variant already demonstrates the bucketed-candidate pattern without
+an iterative training job.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    -> (query_id, neighbor_id, cosine, rank). Excludes self-matches.
+    Query side is broadcast — the corpus is scanned ONCE regardless of
+    query count; scores shuffle once for the per-query top-k window.
+    """
+    cand = emb.select(
+        F.col(id_col).cast("string").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(q_id_col).cast("string").alias("query_id"),
+        F.col(q_vec_col).alias("qv"),
+        _norm(F.col(q_vec_col)).alias("qn"),
+    )
+    scored = cand.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit-normal rows)."""
+    rng = np.random.RandomState(seed)
+    h = rng.randn(n_planes, dim)
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in h]
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit signature as a string key '1010...' — plan literals only."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(_dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """-> (id, band, bucket) rows: signature split into ``bands`` chunks;
+    vectors sharing any chunk land in the same bucket (higher recall than
+    one monolithic signature)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    sig = lsh_signature(F.col(vec_col), planes)
+    per_band = n_planes // bands
+    chunks = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.substring(sig, i * per_band + 1, per_band).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    return emb.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(F.array(*chunks)).alias("c"),
+    ).select("id", "v", F.col("c.band").alias("band"), F.col("c.bucket").alias("bucket"))
+
+
+def lsh_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    bands: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: bucket equi-join -> exact cosine
+    re-rank of candidates only. Same output shape as
+    dedup.embedding_near_dups (recall < 1 by construction; bands/planes
+    trade recall for candidate volume)."""
+    b = lsh_buckets(emb, n_planes, bands, seed, id_col, vec_col)
+    a_side = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bucket")
+    b_side = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bucket")
+    cand = (
+        a_side.join(b_side, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .distinct()
+    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return cand.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure Column expressions (whole-stage codegen, no Python in
+the hot path) so they fold into a single projection over one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import normalize_text
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small: language ID here is a *pipeline quality signal*
+# (route/flag), not a linguistics product.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con", "para", "las"),
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/null-safe."""
+    t = normalize_text(col)
+    return F.when(
+        t.isNull() | (t == ""), F.lit(0)
+    ).otherwise(F.size(F.split(t, " ")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: count word pieces + digits + punctuation runs, the
+    standard ~len/4 heuristic refined by an explicit piece regex. Used
+    for corpus token budgeting, not exact tokenizer parity."""
+    pieces = F.regexp_extract_all(
+        F.lower(col), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), 0
+    )
+    return F.coalesce(F.size(pieces), F.lit(0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])))
+    # array_intersect dedups; for a ratio signal that's fine (distinct hits)
+    return hits / F.greatest(F.size(F.array_distinct(toks)), F.lit(1))
+
+
+def detect_language(col: Column) -> Column:
+    """Argmax over per-language stopword-hit counts; 'und' (undetermined)
+    when nothing matches. One pass, no UDF: builds a score per profile
+    and folds a CASE chain."""
+    toks = F.array_distinct(tokens(col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES.items()
+    }
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores.items():
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals (Gopher/C4-style filters):
+    length, mean word length, punctuation ratio, digit ratio, stopword
+    ratio, uppercase ratio. All in ONE projection."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?\"']", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    tc = token_count(c)
+    return docs.select(
+        "*",
+        tc.alias("n_tokens"),
+        n_chars.alias("q_n_chars"),
+        F.round(n_chars / F.greatest(tc, F.lit(1)), 6).alias("q_mean_word_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("q_punct_ratio"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6).alias("q_digit_ratio"),
+        F.round(n_upper / F.greatest(n_alpha, F.lit(1)), 6).alias("q_upper_ratio"),
+        F.round(stopword_ratio(c), 6).alias("q_stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_punct_ratio: float = 0.2) -> DataFrame:
+    """Composite keep/drop score in [0,1]: starts at 1, multiplicative
+    penalties for short docs, punctuation soup, digit soup, no stopwords."""
+    feats = quality_features(docs, text_col)
+    score = (
+        F.lit(1.0)
+        * F.when(F.col("n_tokens") >= min_tokens, 1.0).otherwise(0.2)
+        * F.when(F.col("q_punct_ratio") <= max_punct_ratio, 1.0).otherwise(0.5)
+        * F.when(F.col("q_digit_ratio") <= 0.3, 1.0).otherwise(0.5)
+        * F.when(F.col("q_stopword_ratio") > 0, 1.0).otherwise(0.7)
+    )
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint(col: Column) -> Column:
+    """Stable document fingerprint: md5 of the normalized text (the
+    rolling-hash analog with a portable primitive — reproducible in any
+    engine for oracle checks)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        detect_language(F.col(text_col)).alias("lang_detected"),
+    )

@@ -1,0 +1,104 @@
+"""Readers for the clips / reference tables (S1/S2/S3/S5 analogs).
+
+The reference stages a CSV from S3 to /tmp and parses it in-process
+(S3Files.scala:17-27, CSVHandler.scala:24-44). Spark-first there is no
+staging: ``spark.read`` against the object store / table format, schema
+verified on read, header mapping as a projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..models import CLIPS_SCHEMA, REF_CLIPS_SCHEMA
+
+
+def read_clips(spark: SparkSession, path: str) -> DataFrame:
+    """Primary source: parquet (Iceberg-shaped) clips table."""
+    return spark.read.parquet(path)
+
+
+def read_ref_clips(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# CSV ingest mode (the reference's native input, CSVHandler.scala:24-48)
+# ---------------------------------------------------------------------------
+
+def raw_csv_headers(spark: SparkSession, path: str) -> list[str]:
+    """S3 analog (CSVHandler.scala:46-48 loadHeaders): first record only.
+
+    Spark renames duplicate CSV headers on read, so the duplicate-header
+    gate (G2) must see the RAW first line; one-row text read, no scan.
+    """
+    first = spark.read.text(path).limit(1).collect()
+    if not first:
+        return []
+    return [h.strip() for h in first[0][0].split(",")]
+
+
+def load_clips_csv(
+    spark: SparkSession,
+    path: str,
+    header_mapping: dict[str, str] | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """S2 analog: CSV -> typed rows + raw headers for the gates.
+
+    - ``header_mapping``: input header -> canonical property
+      (inputToPropertyMapper, CSVHandler.scala:26-31). Unmapped headers
+      are DROPPED (G6; CSVHandler.scala:40 collects only non-empty
+      mappings); mapped ones are renamed (G7).
+    - PERMISSIVE mode + ``_corrupt_record`` gives the INVALID_CSV gate
+      (Lambda.scala:283-305) a hook: callers check ``corrupt_count``.
+    """
+    headers = raw_csv_headers(spark, path)
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    if header_mapping:
+        keep = {c: header_mapping[c] for c in df.columns if header_mapping.get(c)}
+        df = df.select(*[F.col(c).alias(p) for c, p in keep.items()])
+    # late typing: the CSV is schema-on-read strings; coerce known columns
+    for field in CLIPS_SCHEMA.fields:
+        if field.name in df.columns and field.dataType.simpleString() != "string":
+            df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+    return df, headers
+
+
+# ---------------------------------------------------------------------------
+# Iceberg (import-try stub: jars not in this image)
+# ---------------------------------------------------------------------------
+
+def read_iceberg(
+    spark: SparkSession,
+    table: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg scan with optional snapshot pinning (resume contract).
+
+    Falls back with a clear error when the Iceberg runtime jar is absent
+    (this sandbox); production adds
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-...``.
+    """
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    try:
+        return reader.load(table)
+    except Exception as exc:  # ClassNotFound / datasource not found
+        raise NotImplementedError(
+            "Iceberg runtime not on the classpath in this environment; "
+            "use read_clips(parquet) or add the iceberg-spark-runtime jar"
+        ) from exc
+
+
+def current_snapshot_id(spark: SparkSession, table: str) -> int | None:
+    try:
+        row = spark.sql(f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1").collect()
+        return int(row[0][0]) if row else None
+    except Exception:
+        return None

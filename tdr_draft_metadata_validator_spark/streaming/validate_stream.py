@@ -1,0 +1,64 @@
+"""Streaming validation: the rule pass as a continuous pipeline.
+
+The reference is strictly single-shot batch (SURVEY.md §2.7) — this module
+is the engine's forward-looking mode: clips arriving as parquet files
+(or Kafka in production) are validated incrementally with the SAME
+compiled rule set; violation rows stream to a sink; a windowed aggregate
+tracks violation rates with late-data tolerance via watermarking.
+
+The rule pass is stateless, so the whole compiled projection transfers
+to streaming unchanged — one code path for batch and stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..models import CLIPS_SCHEMA
+from ..operators.rules import Rule, clips_base_rules, compile_rules
+
+
+def read_clips_stream(spark: SparkSession, path: str, max_files: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def violations_stream(clips_stream: DataFrame, rules: list[Rule] | None = None,
+                      key: str = "clip_id") -> DataFrame:
+    """Stateless rule pass -> streaming violation rows (append mode)."""
+    return compile_rules(clips_stream, rules if rules is not None else clips_base_rules(), key)
+
+
+def violation_rate_stream(
+    clips_stream: DataFrame,
+    rules: list[Rule] | None = None,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    key: str = "clip_id",
+) -> DataFrame:
+    """Windowed violation counts per (window, process, error_key) with a
+    watermark for late arrivals. Needs an event-time column; file sources
+    get an ingest-time stamp."""
+    v = violations_stream(clips_stream.withColumn("__ts", F.current_timestamp()), rules, key)
+    # re-attach the timestamp (compile_rules projects it away): stamp here
+    v = v.withColumn("__ts", F.current_timestamp())
+    return (
+        v.withWatermark("__ts", watermark)
+        .groupBy(F.window("__ts", window), "validation_process", "error_key")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str = "violations_out"):
+    """Test harness: drain all available input synchronously."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

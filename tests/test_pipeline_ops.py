@@ -1,0 +1,161 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tdr_draft_metadata_validator_spark.pipeline import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _toy_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),     # near dup
+        (4, "completely unrelated text about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_duplicates(spark):
+    d = _toy_docs(spark)
+    groups = dedup.exact_duplicates(d).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == ["1", "2"]
+    kept = dedup.drop_exact_duplicates(d)
+    assert kept.count() == 4
+    assert kept.where("doc_id = 2").count() == 0  # min id wins
+
+
+def test_jaccard_pairs(spark):
+    d = _toy_docs(spark)
+    # doc1 vs doc3: 4 common of 10 distinct trigrams -> jaccard = 0.4
+    pairs = dedup.jaccard_pairs(d, threshold=0.35, n=3).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {("1", "2"), ("1", "3"), ("2", "3")}
+    exact = [p for p in pairs if p["id_b"] == "2"][0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark):
+    d = _toy_docs(spark)
+    cand = dedup.minhash_lsh_candidates(d, num_hashes=32, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    # identical docs must collide on every band
+    assert ("1", "2") in got
+    full = [r for r in cand.collect() if (r["id_a"], r["id_b"]) == ("1", "2")][0]
+    assert full["n_bands_matched"] == 16
+
+
+def test_minhash_signature_deterministic(spark):
+    d = _toy_docs(spark)
+    s1 = {r["id"]: r["sig"] for r in dedup.minhash_signatures(d, 8).collect()}
+    s2 = {r["id"]: r["sig"] for r in dedup.minhash_signatures(d, 8).collect()}
+    assert s1 == s2
+    assert s1["1"] == s1["2"]  # identical text -> identical signature
+
+
+def test_simhash_near_pairs(spark):
+    d = _toy_docs(spark)
+    fps = {r["id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    assert fps["1"] == fps["2"]
+    pairs = dedup.simhash_near_pairs(d, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[("1", "2")] == 0
+
+
+def test_embedding_near_dups_and_lsh_agree(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    exact = dedup.embedding_near_dups(e, threshold=0.95)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == {("1", "2")}
+    approx = similarity.lsh_near_dups(e, threshold=0.95, n_planes=6, bands=3)
+    assert {(r["id_a"], r["id_b"]) for r in approx.collect()} == {("1", "2")}
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 3 * 5
+    for qid in ("0", "1", "2"):
+        ranks = sorted(r["rank"] for r in rows if r["query_id"] == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [r["cosine"] for r in sorted(
+            (x for x in rows if x["query_id"] == qid), key=lambda x: x["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_text_features(spark, docs):
+    out = text.quality_score(docs).limit(50).collect()
+    for r in out:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_tokens"] >= 0
+        assert 0.0 <= r["q_punct_ratio"] <= 1.0
+
+
+def test_detect_language(spark):
+    rows = [
+        (1, "the cat and the dog went to the market and that was that"),
+        (2, "der hund und die katze sind nicht mit dem zug gefahren"),
+        (3, "le chat et le chien sont dans la maison et pas dehors"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["lang_detected"] for r in text.fingerprint_docs(d).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id int, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint_docs(d).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_image_features(spark):
+    media = spark.createDataFrame(
+        [(f"m{i}", bytes([i]) * 100) for i in range(5)] + [("bad", b"")],
+        "media_id string, payload binary",
+    )
+    out = multimodal.image_features(media, feature_dim=16).collect()
+    ok = [r for r in out if r["decode_ok"]]
+    assert len(ok) == 5
+    assert all(len(r["feature"]) == 16 for r in ok)
+    bad = [r for r in out if not r["decode_ok"]]
+    assert len(bad) == 1 and bad[0]["media_id"] == "bad"
+    # deterministic: same payload -> same feature
+    again = multimodal.image_features(media, feature_dim=16).collect()
+    f1 = {r["media_id"]: r["feature"] for r in out}
+    f2 = {r["media_id"]: r["feature"] for r in again}
+    assert f1 == f2
+
+
+def test_multimodal_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [("v1", bytes(256 * 30)), ("v2", bytes(256 * 5))],
+        "media_id string, payload binary",
+    )
+    frames = multimodal.sample_frames(media, every_n=10).collect()
+    v1 = [r["frame_idx"] for r in frames if r["media_id"] == "v1"]
+    assert v1 == [0, 10, 20]
+    assert all(len(r["frame"]) <= 256 for r in frames)

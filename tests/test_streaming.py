@@ -1,0 +1,30 @@
+import numpy as np
+
+from tdr_draft_metadata_validator_spark import datagen
+from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+    read_clips_stream,
+    run_to_memory_sink,
+    violations_stream,
+)
+
+
+def test_streaming_rule_pass(spark, tmp_path):
+    src = str(tmp_path / "stream_in")
+    pdf = datagen.clips_batch(np.arange(8))
+    pdf.loc[3, "sr_hz"] = 12345
+    pdf.loc[6, "codec"] = "mp3~bad"
+    datagen.clips_df(spark, pdf).write.parquet(src)
+
+    stream = read_clips_stream(spark, src, max_files=2)
+    assert stream.isStreaming
+    v = violations_stream(stream)
+    q = run_to_memory_sink(v, name="v_out")
+    try:
+        rows = spark.sql("SELECT * FROM v_out").collect()
+    finally:
+        q.stop()
+    got = {(r["asset_id"], r["property"], r["error_key"]) for r in rows}
+    assert got == {
+        (datagen.clip_id_of(3), "sr_hz", "enum"),
+        (datagen.clip_id_of(6), "codec", "enum"),
+    }

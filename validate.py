@@ -1,0 +1,112 @@
+"""CLI driver — the production launch mode (north_rule):
+
+    spark-submit --py-files engine.zip validate.py \\
+        --table /path/clips --ref /path/ref_clips \\
+        --output /path/out --checkpoint /path/ckpt \\
+        --run-id run42 [--resume] [--snapshot-id 123]
+
+Reads the clips (+reference) table, runs the full validation, writes:
+  {output}/violations/   JSON-lines per-asset violations (scale sink)
+  {output}/error-file.json  single-document verdict (report sink)
+  {checkpoint}/lineage/  per-partition verdict rows (resume manifest)
+
+Local smoke: python validate.py --table ... (uses local[32]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--table", required=True, help="clips table path (parquet) or iceberg:<name>")
+    p.add_argument("--ref", help="reference table path")
+    p.add_argument("--output", default="./validation-out")
+    p.add_argument("--checkpoint", help="lineage manifest dir (enables resume)")
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--consignment-id", default="00000000-0000-0000-0000-000000000000")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--snapshot-id", type=int)
+    p.add_argument("--partitions", type=int, default=256, help="logical partitions")
+    p.add_argument("--no-audio", action="store_true")
+    args = p.parse_args(argv)
+
+    from tdr_draft_metadata_validator_spark.models import ValidationParameters
+    from tdr_draft_metadata_validator_spark.operators.merge import write_violations_json
+    from tdr_draft_metadata_validator_spark.plans.checkpoint import (
+        record_partitions,
+        resume_run,
+    )
+    from tdr_draft_metadata_validator_spark.plans.engine import validate
+    from tdr_draft_metadata_validator_spark.session import get_spark
+    from tdr_draft_metadata_validator_spark.sources.tables import (
+        read_clips,
+        read_iceberg,
+        read_ref_clips,
+    )
+
+    spark = get_spark(app_name=f"validate-{args.run_id}")
+
+    if args.table.startswith("iceberg:"):
+        clips = read_iceberg(spark, args.table[len("iceberg:"):], args.snapshot_id)
+    else:
+        clips = read_clips(spark, args.table)
+    ref = read_ref_clips(spark, args.ref) if args.ref else None
+
+    done: list[int] = []
+    if args.resume and args.checkpoint:
+        clips, done = resume_run(
+            spark, clips, args.checkpoint, args.run_id, args.partitions
+        )
+        print(f"resume: {len(done)} partitions already verified", file=sys.stderr)
+
+    params = ValidationParameters(
+        consignment_id=args.consignment_id,
+        run_id=args.run_id,
+        checkpoint_dir=args.checkpoint,
+    )
+    result = validate(
+        spark, clips, ref, params,
+        with_audio=not args.no_audio,
+        n_logical_partitions=args.partitions,
+    )
+
+    os.makedirs(args.output, exist_ok=True)
+    if result.merged is not None:
+        write_violations_json(result.merged, os.path.join(args.output, "violations"))
+    if result.metrics is not None and args.checkpoint:
+        record_partitions(result.metrics, args.checkpoint)
+
+    # single-document verdict (always written — Lambda.scala:81 semantics);
+    # guarded for scale: only assembled when the violation count is sane
+    doc_path = os.path.join(args.output, "error-file.json")
+    n_assets = result.merged.count() if result.merged is not None else 0
+    if result.gate_error_file is not None or n_assets <= 100_000:
+        with open(doc_path, "w") as fh:
+            fh.write(result.error_file().to_json() + "\n")
+    else:
+        with open(doc_path, "w") as fh:
+            json.dump({"fileError": result.file_error.value,
+                       "violationAssets": n_assets,
+                       "detail": "see violations/ JSON-lines dataset"}, fh)
+
+    print(json.dumps({
+        "run_id": args.run_id,
+        "status": "success" if result.passed else "failure",
+        "fileError": result.file_error.value,
+        "violation_assets": n_assets,
+        "resumed_partitions": len(done),
+        "wall_ms": result.wall_ms,
+    }))
+    spark.stop()
+    return 0 if result.passed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
