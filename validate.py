@@ -51,6 +51,9 @@ def main(argv=None):
         read_ref_clips,
     )
 
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"validate-{args.run_id}")
 
     if args.table.startswith("iceberg:"):
@@ -64,6 +67,12 @@ def main(argv=None):
         clips, done = resume_run(
             spark, clips, args.checkpoint, args.run_id, args.partitions
         )
+        if ref is not None and done:
+            # the reference side must shrink to the same work list, or the
+            # missing-rows anti-join re-flags every already-verified clip
+            from tdr_draft_metadata_validator_spark.plans.checkpoint import filter_resume
+
+            ref = filter_resume(ref, done, args.partitions, key="clip_id")
         print(f"resume: {len(done)} partitions already verified", file=sys.stderr)
 
     params = ValidationParameters(
@@ -104,7 +113,8 @@ def main(argv=None):
         "resumed_partitions": len(done),
         "wall_ms": result.wall_ms,
     }))
-    spark.stop()
+    if not preexisting:
+        spark.stop()
     return 0 if result.passed else 1
 
 
