@@ -28,7 +28,8 @@ BENCH_DATA = pathlib.Path("/root/repo/.bench_data")
 OUT_MD = pathlib.Path("/root/repo/BENCH/BASELINE.md")
 
 
-def run_at(cores: int, clips_path: str, ref_path: str, runs: int = 2) -> float:
+def run_at(cores: int, clips_path: str, ref_path: str, fp_path: str | None = None,
+           runs: int = 2) -> float:
     """Best-of-N wall seconds for the full validation at local[cores]."""
     from tdr_draft_metadata_validator_spark.models import ValidationParameters
     from tdr_draft_metadata_validator_spark.plans.engine import validate
@@ -41,11 +42,13 @@ def run_at(cores: int, clips_path: str, ref_path: str, runs: int = 2) -> float:
         for _ in range(runs):
             clips = spark.read.parquet(clips_path)
             ref = spark.read.parquet(ref_path)
+            fp = spark.read.parquet(fp_path) if fp_path else None
             t0 = time.monotonic()
             result = validate(
                 spark, clips, ref,
                 ValidationParameters(consignment_id="scaling", run_id=f"s{cores}"),
                 n_logical_partitions=256,
+                ref_fingerprints=fp,
             )
             assert result.merged.count() == 0
             assert result.metrics.count() > 0
@@ -60,11 +63,11 @@ def main():
     from bench import ensure_bench_tables
 
     gen = get_spark(app_name="scaling-gen", master="local[32]")
-    clips_path, ref_path = ensure_bench_tables(gen, N_CLIPS)
+    clips_path, ref_path, fp_path = ensure_bench_tables(gen, N_CLIPS)
     gen.stop()
 
-    t_small = run_at(N_SMALL, clips_path, ref_path)
-    t_big = run_at(N_BIG, clips_path, ref_path)
+    t_small = run_at(N_SMALL, clips_path, ref_path, fp_path)
+    t_big = run_at(N_BIG, clips_path, ref_path, fp_path)
     thr_small = N_CLIPS / t_small
     thr_big = N_CLIPS / t_big
     efficiency = (thr_big / thr_small) / (N_BIG / N_SMALL)

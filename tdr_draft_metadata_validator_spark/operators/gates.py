@@ -126,6 +126,28 @@ def additional_columns_gate(
     )
 
 
+def invalid_csv_gate(df: DataFrame, consignment_id: str) -> GateFailure | None:
+    """INVALID_CSV (Lambda.scala:283-305): for CSV ingest mode, PERMISSIVE
+    parsing routes malformed records into ``_corrupt_record``; any such
+    record fails the whole file. One narrow count over that column."""
+    if "_corrupt_record" not in df.columns:
+        return None
+    from pyspark.sql import functions as F
+
+    n_bad = df.where(F.col("_corrupt_record").isNotNull()).limit(1).count()
+    if not n_bad:
+        return None
+    err = Error("FILE_CHECK", consignment_id, "INVALID_CSV",
+                "FILE_CHECK.CSV.INVALID")
+    return GateFailure(
+        ErrorFileData(
+            consignmentId=consignment_id,
+            fileError=FileError.INVALID_CSV,
+            validationErrors=[ValidationErrors(consignment_id, [err], [])],
+        )
+    )
+
+
 def decode_gate_failure(consignment_id: str) -> GateFailure:
     """G1 analog (UTF-8 gate, Lambda.scala:130-153): the run-level verdict
     when any payload is undecodable. Shape mirrors not-utf8-error.json:

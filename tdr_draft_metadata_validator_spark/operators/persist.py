@@ -69,6 +69,19 @@ def unpivot_for_persistence(
     return long.select(key_col, F.col("kv.name").alias("name"), F.col("kv.value").alias("value"))
 
 
+def attach_file_ids(long_df: DataFrame, ref: DataFrame, key_col: str = "clip_id") -> DataFrame:
+    """J4 (MetadataUtils.scala:53-55): map the asset key -> file_id via the
+    reference table; the reference THROWS on a missing key, so we assert
+    the anti-join is empty (one cheap count on the key columns only)
+    before the enriching inner join."""
+    ref_ids = ref.select(F.col(key_col), F.col("file_id"))
+    missing = long_df.select(key_col).distinct().join(ref_ids, on=key_col, how="left_anti")
+    n_missing = missing.count()
+    if n_missing:
+        raise ValueError(f"{n_missing} asset keys have no file_id in the reference table")
+    return long_df.join(ref_ids, on=key_col, how="inner")
+
+
 def write_batched(
     long_df: DataFrame,
     path: str,

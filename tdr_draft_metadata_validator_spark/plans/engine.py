@@ -76,9 +76,19 @@ class ValidationResult:
 
 def drop_empty_rows(clips: DataFrame) -> DataFrame:
     """G5 (CSVHandler.scala:34): drop rows where every value is empty.
-    Typed analog: every column null (strings also count '' as empty)."""
+    Typed analog: every column null (strings also count '' as empty).
+
+    Binary payload columns are EXCLUDED from the predicate: including
+    them would force every downstream check's scan to read the multi-KB
+    payload column just to evaluate this filter (measured 100s+ of extra
+    scan time at 60k clips; catastrophic at 100 TB). A row whose metadata
+    is entirely empty is the all-empty-row analog even if a payload blob
+    is attached — it cannot be keyed, validated or joined anyway.
+    """
     conds = []
     for f in clips.schema.fields:
+        if f.dataType.simpleString() == "binary":
+            continue
         c = F.col(f.name)
         if f.dataType.simpleString() == "string":
             conds.append(c.isNotNull() & (c != ""))
@@ -100,7 +110,20 @@ def validate(
     with_audio: bool = True,
     with_metrics: bool = True,
     n_logical_partitions: int = 64,
+    ref_fingerprints: DataFrame | None = None,
 ) -> ValidationResult:
+    import os as _os
+    import sys as _sys
+
+    _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
+    _last = [time.monotonic()]
+
+    def _mark(stage: str) -> None:
+        if _dbg:
+            now = time.monotonic()
+            print(f"[engine] {stage}: {now - _last[0]:.1f}s", file=_sys.stderr, flush=True)
+            _last[0] = now
+
     t0 = time.monotonic()
     cid = params.consignment_id
     key = params.unique_asset_id_key
@@ -124,12 +147,18 @@ def validate(
     checks: list[DataFrame] = []
     if with_audio:
         audio_v = audio_invariants(
-            clips, ref, key=key, snr_threshold_db=params.snr_threshold_db
+            clips, ref, key=key, snr_threshold_db=params.snr_threshold_db,
+            fingerprints=ref_fingerprints,
         )
-        audio_v = audio_v.persist()
+        # localCheckpoint materializes the (tiny) violation rows AND cuts
+        # the lineage to the payload join — downstream consumers (gate
+        # check, union, merge, metrics) can never re-trigger the decode.
+        # Plain persist() proved fragile here: cache substitution into the
+        # union plan missed intermittently and re-ran the 6GB join.
+        audio_v = audio_v.localCheckpoint(eager=True)
+        _mark("audio decode pass")
         if has_undecodable(audio_v):
             failure = G.decode_gate_failure(cid)
-            audio_v.unpersist()
             return ValidationResult(
                 params, failure.file_error, gate_error_file=failure.error_file,
                 wall_ms=int((time.monotonic() - t0) * 1000),
@@ -147,14 +176,17 @@ def validate(
 
     violations = union_checks(checks)
     merged = merge_violations(violations, key_name=key).persist()
+    n_violation_assets = merged.count()  # one materialization, reused below
+    _mark("row checks + merge")
 
-    file_error = FileError.SCHEMA_VALIDATION if not merged.isEmpty() else FileError.NONE
+    file_error = FileError.SCHEMA_VALIDATION if n_violation_assets else FileError.NONE
 
     metrics = None
     if with_metrics:
         metrics = partition_metrics(
             clips, merged, params, n_logical_partitions=n_logical_partitions, key=key
         )
+        _mark("metrics plan built")
 
     return ValidationResult(
         params,
@@ -162,4 +194,5 @@ def validate(
         merged=merged,
         metrics=metrics,
         wall_ms=int((time.monotonic() - t0) * 1000),
+        extra={"n_violation_assets": n_violation_assets},
     )

@@ -40,9 +40,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Arrow batch size is the decode stage's throughput lever: the
+        # Python-worker protocol has large per-batch overhead (measured on
+        # the 60k x 48KB clip join+decode: 1024 -> 187s, 4096 -> 75s,
+        # 8192 -> 18s). Size it as targetBatchBytes / avgPayloadBytes and
+        # tune DOWN for multi-MB clips via SPARK_GRAFT_ARROW_BATCH.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode: driver IS the executor; big Arrow batches of binary
+        # payloads need headroom (cluster deployments size executors instead)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

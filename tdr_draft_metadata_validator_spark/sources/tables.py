@@ -69,6 +69,11 @@ def load_clips_csv(
     return df, headers
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6 analog (CSVHandler.scala:50-55 writeCsv)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
 # ---------------------------------------------------------------------------
 # Iceberg (import-try stub: jars not in this image)
 # ---------------------------------------------------------------------------

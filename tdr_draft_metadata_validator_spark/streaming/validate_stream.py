@@ -52,6 +52,20 @@ def violation_rate_stream(
     )
 
 
+def dedup_stream(clips_stream: DataFrame, key: str = "clip_id",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming uniqueness (A1's streaming face): state-backed
+    drop-duplicates on the key within the watermark horizon. Late
+    duplicates beyond the watermark age out of state — the batch engine's
+    salted global agg is the exact variant; this is the continuous one."""
+    return (
+        clips_stream.withColumn("__ts", F.current_timestamp())
+        .withWatermark("__ts", watermark)
+        .dropDuplicates([key])
+        .drop("__ts")
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str = "violations_out"):
     """Test harness: drain all available input synchronously."""
     q = (

@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--consignment-id", default="00000000-0000-0000-0000-000000000000")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-id", type=int)
+    p.add_argument("--ref-fingerprints",
+                   help="precomputed reference fingerprint manifest "
+                        "(operators.audio.ref_fingerprints output); rebuilt "
+                        "per reference snapshot, saves a full ref_pcm scan")
     p.add_argument("--partitions", type=int, default=256, help="logical partitions")
     p.add_argument("--no-audio", action="store_true")
     args = p.parse_args(argv)
@@ -80,10 +84,16 @@ def main(argv=None):
         run_id=args.run_id,
         checkpoint_dir=args.checkpoint,
     )
+    fp = (
+        spark.read.parquet(args.ref_fingerprints)
+        if args.ref_fingerprints
+        else None
+    )
     result = validate(
         spark, clips, ref, params,
         with_audio=not args.no_audio,
         n_logical_partitions=args.partitions,
+        ref_fingerprints=fp,
     )
 
     os.makedirs(args.output, exist_ok=True)
