@@ -173,6 +173,84 @@ def generate_ref_clips(spark: SparkSession, n: int, seed: int = SEED,
     return spark.range(0, n, 1, parts).mapInPandas(gen, REF_CLIPS_SCHEMA)
 
 
+def _mix_vec(i: np.ndarray, seed: int, salt: int) -> np.ndarray:
+    """Vectorized _mix over uint64 arrays (same constants, same outputs)."""
+    x = (i.astype(np.uint64) * np.uint64(2654435761)
+         + np.uint64(seed * 40503) + np.uint64(salt * 97)) & np.uint64(0xFFFFFFFF)
+    x ^= x >> np.uint64(16)
+    x = (x * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+    x ^= x >> np.uint64(13)
+    return x
+
+
+def clips_meta_batch(indices: np.ndarray, seed: int = SEED) -> pd.DataFrame:
+    """Metadata-only clips rows (bytes=None), fully vectorized — used for
+    multi-million-row relational/rule scaling runs where synthesizing
+    audio would dominate the wall clock. Field values match the scalar
+    generators for sr/dur/codec; transcripts are 5 deterministic words."""
+    i = np.asarray(indices, dtype=np.int64)
+    ids = np.char.mod("clip/%08d.wav", i)
+    sr = np.take(np.array(SR_DOMAIN), (_mix_vec(i, seed, 1) % 4).astype(np.int64))
+    dur = (200 + _mix_vec(i, seed, 2) % 1800).astype(np.int32)
+    codec_r = (_mix_vec(i, seed, 3) % 10).astype(np.int64)
+    codec = np.where(codec_r < 8, CODECS[0],
+                     np.where((codec_r & 1) == 1, CODECS[2], CODECS[1]))
+    lex = np.array(_LEXICON)
+    words = [np.take(lex, (_mix_vec(i, seed, 5 + w) % 64).astype(np.int64)) for w in range(5)]
+    transcript = words[0]
+    for w in words[1:]:
+        transcript = np.char.add(np.char.add(transcript, " "), w)
+    return pd.DataFrame(
+        {
+            "clip_id": ids,
+            "bytes": None,
+            "sr_hz": sr.astype(np.int32),
+            "dur_ms": dur,
+            "codec": codec,
+            "transcript": transcript,
+        }
+    )
+
+
+def ref_meta_batch(indices: np.ndarray, seed: int = SEED) -> pd.DataFrame:
+    """Reference-side metadata rows matching clips_meta_batch."""
+    c = clips_meta_batch(indices, seed)
+    return pd.DataFrame(
+        {
+            "clip_id": c["clip_id"],
+            "file_id": np.char.mod("f%08d", np.asarray(indices, dtype=np.int64)),
+            "ref_pcm": None,
+            "ref_transcript": c["transcript"],
+            "ref_sr_hz": c["sr_hz"],
+            "ref_dur_ms": c["dur_ms"],
+        }
+    )
+
+
+def generate_clips_meta(spark: SparkSession, n: int, seed: int = SEED,
+                        partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield clips_meta_batch(pdf["id"].to_numpy(), seed)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, CLIPS_SCHEMA)
+
+
+def generate_ref_meta(spark: SparkSession, n: int, seed: int = SEED,
+                      partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield ref_meta_batch(pdf["id"].to_numpy(), seed)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, REF_CLIPS_SCHEMA)
+
+
 def clips_df(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     """Small driver-side fixture -> typed DataFrame (tests)."""
     return spark.createDataFrame(pdf, schema=CLIPS_SCHEMA)

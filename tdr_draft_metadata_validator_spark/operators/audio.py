@@ -144,14 +144,41 @@ def audio_invariants(
     key: str = "clip_id",
     snr_threshold_db: float = 30.0,
     fingerprints: DataFrame | None = None,
+    strict_snr: bool = False,
 ) -> DataFrame:
     """Decode + SNR + transcript checks -> violation rows (common schema).
 
     ``ref=None`` -> decodability only (the standalone UTF-8 gate analog).
     ``fingerprints`` -> precomputed :func:`ref_fingerprints` manifest;
     omitted, it is derived inline (one extra ref_pcm scan).
+    ``strict_snr`` -> audit mode: run the sample-level SNR compare on
+    EVERY decodable row instead of only the hash-mismatch residue
+    (guards against the astronomically-unlikely md5 collision; also the
+    compute-heaviest configuration, used by the scaling bench).
     """
     src = clips.select(F.col(key).alias("clip_id"), "bytes", "codec")
+
+    if ref is not None and strict_snr:
+        # Audit mode: single decode inside the payload join, SNR for every
+        # matched row (no fingerprint screen — it would be pure overhead
+        # when everything falls through to the SNR stage anyway).
+        # Decodability of rows absent from the reference is the default
+        # mode's job; here they are already flagged 'unknown' by J2.
+        snr_fail = src.join(
+            ref.select(F.col(key).alias("clip_id"), "ref_pcm"),
+            on="clip_id", how="inner",
+        ).mapInPandas(_snr_check(snr_threshold_db), _SNR_SCHEMA)
+        snr_violations = _violation_rows(
+            snr_fail.select("asset_id", "error_key"),
+            "bytes",
+            F.col("error_key"),
+            F.when(
+                F.col("error_key") == "undecodable",
+                F.lit(resolve(PROCESS_AUDIO, "bytes", "undecodable")),
+            ).otherwise(F.lit(resolve(PROCESS_AUDIO, "bytes", "snrBelowThreshold"))),
+        )
+        return snr_violations.unionByName(_transcript_check(clips, ref, key))
+
     fp = src.mapInPandas(_decode_fingerprint, _FP_SCHEMA)
 
     undecodable = _violation_rows(
@@ -196,14 +223,21 @@ def audio_invariants(
         ).otherwise(F.lit(resolve(PROCESS_AUDIO, "bytes", "snrBelowThreshold"))),
     )
 
-    # ---- transcript equality: narrow join, pure Column predicate --------
+    return (
+        undecodable.unionByName(snr_violations)
+        .unionByName(_transcript_check(clips, ref, key))
+    )
+
+
+def _transcript_check(clips: DataFrame, ref: DataFrame, key: str) -> DataFrame:
+    """Transcript equality: narrow join, pure Column predicate (no UDF)."""
     ref_tr = choose_join_side(
         ref.select(F.col(key).alias("clip_id"), "ref_transcript")
     )
     tr = clips.select(F.col(key).alias("clip_id"), "transcript").join(
         ref_tr, on="clip_id", how="inner"
     )
-    transcript_violations = tr.where(
+    return tr.where(
         ~F.col("transcript").eqNullSafe(F.col("ref_transcript"))
     ).select(
         F.col("clip_id").alias("asset_id"),
@@ -218,8 +252,6 @@ def audio_invariants(
             )
         ).alias("data"),
     )
-
-    return undecodable.unionByName(snr_violations).unionByName(transcript_violations)
 
 
 def has_undecodable(violations: DataFrame) -> bool:

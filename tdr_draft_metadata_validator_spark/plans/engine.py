@@ -111,6 +111,7 @@ def validate(
     with_metrics: bool = True,
     n_logical_partitions: int = 64,
     ref_fingerprints: DataFrame | None = None,
+    strict_snr: bool = False,
 ) -> ValidationResult:
     import os as _os
     import sys as _sys
@@ -148,7 +149,7 @@ def validate(
     if with_audio:
         audio_v = audio_invariants(
             clips, ref, key=key, snr_threshold_db=params.snr_threshold_db,
-            fingerprints=ref_fingerprints,
+            fingerprints=ref_fingerprints, strict_snr=strict_snr,
         )
         # localCheckpoint materializes the (tiny) violation rows AND cuts
         # the lineage to the payload join — downstream consumers (gate

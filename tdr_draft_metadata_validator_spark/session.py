@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Local-mode shuffle spills otherwise share the ONE data disk with
+        # the table scans and serialize every payload-heavy job (~18s wall
+        # regardless of cores for a 6GB shuffle). tmpfs restores the
+        # separation a real cluster has (dedicated NVMe / network shuffle).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

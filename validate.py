@@ -39,6 +39,9 @@ def main(argv=None):
                         "per reference snapshot, saves a full ref_pcm scan")
     p.add_argument("--partitions", type=int, default=256, help="logical partitions")
     p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--strict-snr", action="store_true",
+                   help="audit mode: sample-level SNR compare on every "
+                        "matched row (skips the fingerprint screen)")
     args = p.parse_args(argv)
 
     from tdr_draft_metadata_validator_spark.models import ValidationParameters
@@ -94,6 +97,7 @@ def main(argv=None):
         with_audio=not args.no_audio,
         n_logical_partitions=args.partitions,
         ref_fingerprints=fp,
+        strict_snr=args.strict_snr,
     )
 
     os.makedirs(args.output, exist_ok=True)
