@@ -281,6 +281,58 @@ def q_embedding_lsh_near_dups(spark, sf):
     return similarity.lsh_near_dups(emb, threshold=0.3, n_planes=9, bands=3)
 
 
+def q_sessionize(spark, sf):
+    """Sessionization: gap > 30 min starts a new session per user
+    (window lag + running sum — the Common-OLAP pattern)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def q_rollup(spark, sf):
+    """Grouping sets: event counts by (type, value-bucket) with subtotals."""
+    ev = _t(spark, sf, "events")
+    bucket = (F.col("value") / 100).cast("int").alias("value_bucket")
+    return (
+        ev.select(F.col("event_type"), bucket)
+        .rollup("event_type", "value_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("value_bucket").cast("string"), F.lit("ALL")).alias("value_bucket"),
+            "n",
+        )
+    )
+
+
+def q_pivot(spark, sf):
+    """Pivot: per-user event-type counts as columns."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+              for c in ("click", "view", "purchase", "signup", "error")],
+        )
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf):
     """MinHash LSH banding candidates — rows-only check (band hashing of
     signature arrays is impractical to mirror in ANSI SQL)."""
@@ -312,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "sessionize": q_sessionize,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
     }
 
 
@@ -589,6 +644,41 @@ def oracle_sql() -> dict[str, str]:
                      ) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, value, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, value,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(CAST(floor(value / 100) AS INT) AS VARCHAR), 'ALL') AS value_bucket,
+                   count(*) AS n
+            FROM events
+            GROUP BY ROLLUP (event_type, CAST(floor(value / 100) AS INT))
+        """,
+        "pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
         """,
         # embedding_lsh_near_dups / minhash_lsh_candidates: rows-only
         # (numpy-seeded hyperplanes / array band hashing not SQL-replicable)
