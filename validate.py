@@ -87,11 +87,14 @@ def main(argv=None):
         run_id=args.run_id,
         checkpoint_dir=args.checkpoint,
     )
-    fp = (
-        spark.read.parquet(args.ref_fingerprints)
-        if args.ref_fingerprints
-        else None
-    )
+    fp = None
+    if args.ref_fingerprints:
+        try:
+            fp = spark.read.parquet(args.ref_fingerprints)
+        except Exception as exc:
+            print(f"error: cannot read --ref-fingerprints "
+                  f"{args.ref_fingerprints!r}: {exc}", file=sys.stderr)
+            return 2
     result = validate(
         spark, clips, ref, params,
         with_audio=not args.no_audio,
