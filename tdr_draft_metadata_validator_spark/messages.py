@@ -77,6 +77,11 @@ _CATALOG: dict[tuple[str, str, str], str] = {
     ("AUDIO_VALIDATION", "bytes", "undecodable"): (
         "Audio payload could not be decoded with the declared codec"
     ),
+    # --- distribution drift (north_rule A6) ---
+    ("DISTRIBUTION_DRIFT", "*", "distributionDrift"): (
+        "Column distribution has drifted from the reference beyond the "
+        "configured PSI/KS thresholds"
+    ),
 }
 
 

@@ -121,6 +121,45 @@ def ks_from_fractions(p: list[float], q: list[float]) -> float:
     return worst
 
 
+def drift_violations(
+    spark,
+    current: DataFrame,
+    reference: DataFrame,
+    consignment_id: str,
+    columns: tuple[tuple[str, str], ...] = (("dur_ms", "ref_dur_ms"), ("sr_hz", "ref_sr_hz")),
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.2,
+) -> DataFrame:
+    """A6 as an engine check: run drift per column pair, emit one
+    run-level violation row per breaching column (assetId =
+    consignmentId, mirroring the reference's file-level error shape).
+
+    Returns a DataFrame in the engine's common violation-row schema so
+    the semigroup merge folds drift into the same verdict as row checks.
+    """
+    from ..messages import resolve as _resolve
+    from ..models import PROCESS_DRIFT, VIOLATION_SCHEMA
+
+    rows = []
+    for col, ref_col in columns:
+        rep = drift_check(current, reference, col, ref_col)
+        if rep.breaches(psi_threshold, ks_threshold):
+            rows.append(
+                (
+                    consignment_id,
+                    PROCESS_DRIFT,
+                    col,
+                    "distributionDrift",
+                    _resolve(PROCESS_DRIFT, col, "distributionDrift"),
+                    [
+                        ("psi", f"{rep.psi:.6f}"),
+                        ("ks", f"{rep.ks:.6f}"),
+                    ],
+                )
+            )
+    return spark.createDataFrame(rows, VIOLATION_SCHEMA)
+
+
 def drift_check(
     current: DataFrame,
     reference: DataFrame,

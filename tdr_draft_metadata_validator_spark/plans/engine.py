@@ -112,6 +112,7 @@ def validate(
     n_logical_partitions: int = 64,
     ref_fingerprints: DataFrame | None = None,
     strict_snr: bool = False,
+    with_drift: bool = False,
 ) -> ValidationResult:
     import os as _os
     import sys as _sys
@@ -174,6 +175,11 @@ def validate(
         if params.check_against_uploaded_records:
             checks.append(R.unknown_rows(clips, ref, key))
             checks.append(R.protected_fields(clips, ref, params.protected_fields, key))
+
+    if with_drift and ref is not None:
+        from ..operators.stats import drift_violations
+
+        checks.append(drift_violations(spark, clips, ref, cid))
 
     violations = union_checks(checks)
     merged = merge_violations(violations, key_name=key).persist()

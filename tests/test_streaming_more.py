@@ -1,0 +1,47 @@
+import numpy as np
+
+from tdr_draft_metadata_validator_spark import datagen
+from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+    dedup_stream,
+    read_clips_stream,
+    run_to_memory_sink,
+    violation_rate_stream,
+)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "in")
+    pdf = datagen.clips_batch(np.array([0, 1, 2, 1, 0]))  # dups of 0 and 1
+    datagen.clips_df(spark, pdf).write.parquet(src)
+    stream = read_clips_stream(spark, src)
+    q = run_to_memory_sink(dedup_stream(stream), name="dedup_out")
+    try:
+        rows = spark.sql("SELECT clip_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["clip_id"] for r in rows)
+    assert ids == sorted({datagen.clip_id_of(i) for i in (0, 1, 2)})
+
+
+def test_streaming_violation_rate_window(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    pdf = datagen.clips_batch(np.arange(10))
+    pdf.loc[2, "sr_hz"] = 12345
+    pdf.loc[5, "sr_hz"] = 999
+    datagen.clips_df(spark, pdf).write.parquet(src)
+    stream = read_clips_stream(spark, src)
+    agg = violation_rate_stream(stream, window="1 minute")
+    # windowed agg with watermark: drain with update-mode into memory
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory").queryName("rate_out").start()
+    )
+    q.processAllAvailable()
+    try:
+        rows = spark.sql(
+            "SELECT error_key, sum(n_violations) n FROM rate_out GROUP BY 1"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["error_key"]: r["n"] for r in rows}
+    assert got.get("enum") == 2

@@ -42,6 +42,12 @@ def main(argv=None):
     p.add_argument("--strict-snr", action="store_true",
                    help="audit mode: sample-level SNR compare on every "
                         "matched row (skips the fingerprint screen)")
+    p.add_argument("--drift", action="store_true",
+                   help="add PSI/KS distribution-drift checks vs the "
+                        "reference (dur_ms, sr_hz)")
+    p.add_argument("--stats", action="store_true",
+                   help="print single-pass per-column stats (A5) as JSON "
+                        "to stderr before validating")
     args = p.parse_args(argv)
 
     from tdr_draft_metadata_validator_spark.models import ValidationParameters
@@ -95,12 +101,18 @@ def main(argv=None):
             print(f"error: cannot read --ref-fingerprints "
                   f"{args.ref_fingerprints!r}: {exc}", file=sys.stderr)
             return 2
+    if args.stats:
+        from tdr_draft_metadata_validator_spark.operators.stats import column_stats
+
+        print(json.dumps(column_stats(clips), default=str), file=sys.stderr)
+
     result = validate(
         spark, clips, ref, params,
         with_audio=not args.no_audio,
         n_logical_partitions=args.partitions,
         ref_fingerprints=fp,
         strict_snr=args.strict_snr,
+        with_drift=args.drift,
     )
 
     os.makedirs(args.output, exist_ok=True)
