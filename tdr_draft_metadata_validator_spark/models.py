@@ -135,6 +135,10 @@ class ValidationParameters:
     # decode-invariant knobs (north_rule)
     snr_threshold_db: float = 30.0
     run_id: str = "run-0"
+    # schema contract for the gates (None -> canonical clips columns);
+    # extending the schema (e.g. FOI-style rule columns) extends both
+    expected_columns: tuple[str, ...] | None = None
+    required_columns: tuple[str, ...] | None = None
     # resume: path of the checkpoint/lineage table (None = fresh run)
     checkpoint_dir: str | None = None
 

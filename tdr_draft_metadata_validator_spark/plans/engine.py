@@ -131,10 +131,12 @@ def validate(
     key = params.unique_asset_id_key
 
     # ---- file-level gates (fail-fast; driver metadata only) --------------
+    expected = params.expected_columns or G.EXPECTED_COLUMNS
+    required = params.required_columns or G.REQUIRED_COLUMNS
     for gate in (
         (lambda: G.duplicate_headers_gate(raw_headers, cid)) if raw_headers else (lambda: None),
-        lambda: G.required_columns_gate(clips, cid, key_col=key),
-        lambda: G.additional_columns_gate(clips, cid),
+        lambda: G.required_columns_gate(clips, cid, required=required, key_col=key),
+        lambda: G.additional_columns_gate(clips, cid, allowed=expected),
     ):
         failure = gate()
         if failure is not None:
