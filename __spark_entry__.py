@@ -27,7 +27,7 @@ from tdr_draft_metadata_validator_spark.operators.rules import (
     range_rule,
     required_rule,
 )
-from tdr_draft_metadata_validator_spark.pipeline import dedup, similarity, text
+from tdr_draft_metadata_validator_spark.pipeline import asof, dedup, similarity, text
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -333,6 +333,22 @@ def q_pivot(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """As-of join (composed operator Spark lacks natively): each purchase
+    event picks up the latest prior signup event's value per user."""
+    ev = _t(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_join(left, right, on="ts", by="user_id", value_cols=["value"])
+    return out.select(
+        "event_id", F.round(F.col("value_asof"), 4).alias("rate")
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf):
     """MinHash LSH banding candidates — rows-only check (band hashing of
     signature arrays is impractical to mirror in ANSI SQL)."""
@@ -365,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "rollup": q_rollup,
         "pivot": q_pivot,
     }
@@ -644,6 +661,16 @@ def oracle_sql() -> dict[str, str]:
                      ) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+            )
+            SELECT l.event_id, round(r.value, 4) AS rate
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sessionize": """
             WITH o AS (

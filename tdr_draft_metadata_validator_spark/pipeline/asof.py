@@ -1,0 +1,74 @@
+"""As-of join — an operator Spark lacks natively, composed from
+built-ins (the preferred path per SURVEY.md §2.8 / pyspark_guide
+"As-of / range join").
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same key group.
+
+Implementation: union-tag + one window pass —
+
+1. union the two sides with a source tag (right rows sort BEFORE left
+   rows at equal timestamps, giving inclusive <= semantics),
+2. ``last(value, ignorenulls=True)`` over
+   ``partitionBy(key).orderBy(ts, tag)`` carries the latest right value
+   forward,
+3. filter back to left rows.
+
+One shuffle on the key (same as any co-grouped operator); no
+``applyInPandas``/``merge_asof`` needed, so the whole plan stays
+JVM-side and AQE-skew-splittable. Window state is O(1) per row (just
+the carried value), so a hot key degrades to a single sorted scan —
+acceptable; salting would break the ordering semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: latest right row with ``right[on] <= left[on]``
+    per ``by`` group. Left rows with no prior right row keep nulls.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in by and c != on
+    ]
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__src"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.lit(0).alias("__src"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), F.col("__src"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__src") == 1).drop(
+        "__src", *[f"__r_{c}" for c in value_cols]
+    )
