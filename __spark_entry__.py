@@ -174,6 +174,36 @@ def q_histogram_bins(spark, sf):
     )
 
 
+def q_drift_psi(spark, sf):
+    """A6 end-to-end: PSI of l_quantity between even and odd orderkeys
+    (a deterministic split standing in for reference-vs-current), fixed
+    edges 10/20/30/40. Whole computation stays in DataFrame ops; only
+    the final scalar leaves the cluster."""
+    li = _t(spark, sf, "lineitem")
+    c = F.col("l_quantity").cast("double")
+    bucket = sum(
+        ((c > F.lit(float(e))).cast("int") for e in (10.0, 20.0, 30.0, 40.0)),
+        F.lit(0),
+    ).alias("bucket")
+    side = (F.col("l_orderkey") % 2 == 0).alias("is_ref")
+    per = li.select(bucket, side).groupBy("bucket", "is_ref").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.groupBy("is_ref").agg(F.sum("n").alias("tot"))
+    frac = per.join(tot, "is_ref").select(
+        "bucket", "is_ref", (F.col("n") / F.col("tot")).alias("f")
+    )
+    ref = frac.where(F.col("is_ref")).select("bucket", F.col("f").alias("p"))
+    cur = frac.where(~F.col("is_ref")).select("bucket", F.col("f").alias("q"))
+    eps = 1e-6
+    term = (F.col("p") - F.col("q")) * F.log((F.col("p") + eps) / (F.col("q") + eps))
+    return ref.join(cur, "bucket", "full_outer").select(
+        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+        F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+        term.alias("t"),
+    ).agg(F.round(F.sum("t"), 6).alias("psi"))
+
+
 def q_topk_per_group(spark, sf):
     """Window top-k: 3 priciest lineitems per returnflag."""
     li = _t(spark, sf, "lineitem")
@@ -367,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": q_column_stats,
         "partition_metrics": q_partition_metrics,
         "histogram_bins": q_histogram_bins,
+        "drift_psi": q_drift_psi,
         "topk_per_group": q_topk_per_group,
         "groupby_agg": q_groupby_agg,
         "dedup_exact": q_dedup_exact,
@@ -535,6 +566,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, count(*) AS n,
                    round(count(*) / (SELECT count(*)::DOUBLE FROM lineitem), 6) AS fraction
             FROM b GROUP BY bucket
+        """,
+        "drift_psi": """
+            WITH b AS (
+              SELECT (CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 20 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END
+                    + CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS bucket,
+                     (l_orderkey % 2 = 0) AS is_ref
+              FROM lineitem
+            ),
+            per AS (SELECT bucket, is_ref, count(*) AS n FROM b GROUP BY 1, 2),
+            tot AS (SELECT is_ref, sum(n) AS tot FROM per GROUP BY 1),
+            frac AS (
+              SELECT per.bucket, per.is_ref, per.n / tot.tot::DOUBLE AS f
+              FROM per JOIN tot USING (is_ref)
+            ),
+            rc AS (
+              SELECT coalesce(r.bucket, c.bucket) AS bucket,
+                     coalesce(r.f, 0.0) AS p, coalesce(c.f, 0.0) AS q
+              FROM (SELECT bucket, f FROM frac WHERE is_ref) r
+              FULL OUTER JOIN (SELECT bucket, f FROM frac WHERE NOT is_ref) c
+                ON r.bucket = c.bucket
+            )
+            SELECT round(sum((p - q) * ln((p + 1e-6) / (q + 1e-6))), 6) AS psi
+            FROM rc
         """,
         "topk_per_group": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
