@@ -308,7 +308,7 @@ def q_embedding_lsh_near_dups(spark, sf):
     emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return similarity.lsh_near_dups(emb, threshold=0.3, n_planes=9, bands=3)
+    return similarity.lsh_near_dups(emb, threshold=0.3, n_planes=9, bands=3, dim=64)
 
 
 def q_sessionize(spark, sf):

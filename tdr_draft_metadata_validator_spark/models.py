@@ -180,7 +180,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("pass", T.BooleanType(), False),
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("n_violations", T.LongType(), False),
-        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), True),
     ]
 )
 

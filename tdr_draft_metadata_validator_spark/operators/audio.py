@@ -203,7 +203,11 @@ def audio_invariants(
     # same layout, so hash equality <=> bit-identical audio <=> SNR=inf.
 
     # ---- stage 3: exact SNR only for the residue -------------------------
-    cand = F.broadcast(mismatched)
+    # No forced broadcast: on a lossless corpus the residue is ~empty and
+    # AQE converts the semi-joins to broadcast at runtime; with real lossy
+    # decoders the residue is ~every lossy row, and a forced broadcast
+    # would OOM the driver — plain left_semi lets AQE pick per-run.
+    cand = mismatched
     cand_clips = clips.select(F.col(key).alias("clip_id"), "bytes", "codec").join(
         cand, on="clip_id", how="left_semi"
     )

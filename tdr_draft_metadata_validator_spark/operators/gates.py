@@ -42,6 +42,17 @@ class GateFailure:
         return self.error_file.fileError
 
 
+class GateTripped(Exception):
+    """Raised by source-side gates that must short-circuit BEFORE a
+    DataFrame exists (the CSV UTF-8 byte gate) — the analog of the
+    reference's ValidationExecutionError (Lambda.scala:354). Carries the
+    complete run verdict."""
+
+    def __init__(self, failure: GateFailure):
+        super().__init__(failure.file_error)
+        self.failure = failure
+
+
 def duplicate_headers_gate(
     raw_headers: list[str], consignment_id: str
 ) -> GateFailure | None:
@@ -143,6 +154,53 @@ def invalid_csv_gate(df: DataFrame, consignment_id: str) -> GateFailure | None:
         ErrorFileData(
             consignmentId=consignment_id,
             fileError=FileError.INVALID_CSV,
+            validationErrors=[ValidationErrors(consignment_id, [err], [])],
+        )
+    )
+
+
+def utf8_file_gate(spark, path: str, consignment_id: str) -> GateFailure | None:
+    """G1 for CSV ingest mode (Lambda.scala:130-153 validUTF8 +
+    UTF8ValidationHandler.scala:8-11): byte-level strict UTF-8 scan of the
+    raw file(s) BEFORE any CSV parsing, BOM-tolerant (the UTF-8 BOM
+    EF BB BF decodes to U+FEFF, a valid code point, so strict decoding
+    accepts BOM'd files exactly like the reference's Utf8Validator).
+
+    Spark-first: ``binaryFile`` source (one row per file — scales to a
+    directory of CSV shards) -> Arrow-batched ``mapInPandas`` strict
+    decode. Only a per-file boolean leaves the executors. Failure shape
+    mirrors not-utf8-error.json (FILE_CHECK / UTF8 / FileError.UTF_8).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    def _check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = []
+            for blob in pdf["content"]:
+                try:
+                    bytes(blob).decode("utf-8", errors="strict")
+                    ok.append(True)
+                except (UnicodeDecodeError, TypeError):
+                    ok.append(False)
+            yield pd.DataFrame({"path": pdf["path"], "valid": ok})
+
+    schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("valid", T.BooleanType(), False),
+    ])
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    bad = files.mapInPandas(_check, schema).where(~F.col("valid")).limit(1).count()
+    if not bad:
+        return None
+    err = Error("FILE_CHECK", consignment_id, "UTF8",
+                resolve("FILE_CHECK", consignment_id, "UTF8"))
+    return GateFailure(
+        ErrorFileData(
+            consignmentId=consignment_id,
+            fileError=FileError.UTF_8,
             validationErrors=[ValidationErrors(consignment_id, [err], [])],
         )
     )

@@ -12,8 +12,9 @@ Coercion contract (MetadataUtils.scala:59-81 + persistence
 LambdaSpec.scala:138-198 goldens, trap list SURVEY.md §7):
 - date   -> start-of-day timestamp string ``yyyy-MM-dd HH:mm:ss.S``
             (golden ``"1990-01-01 00:00:00.0"``)
-- boolean-> 'Yes' (case-insensitive) -> 'true', anything else -> 'false'
-- empty  -> stays ``""`` with NO coercion (even for typed columns)
+- boolean-> 'Yes' (case-insensitive) -> 'true', any other non-empty -> 'false'
+- empty  -> stays ``""`` with NO coercion for ANY type (the reference
+            coerces only ``value.nonEmpty`` cells)
 """
 
 from __future__ import annotations
@@ -28,7 +29,11 @@ def coerce_date(col):
 
 
 def coerce_bool(col):
-    """F8: yes/no -> true/false; non-'yes' (incl. null) -> 'false'."""
+    """F8: 'Yes' (case-insensitive) -> 'true'; any other NON-EMPTY value
+    -> 'false'. Empty/null handling lives in the caller: the reference
+    only coerces non-empty cells (MetadataUtils.scala:59-81,
+    ``case m if m.value.nonEmpty``), so '' passes through for booleans
+    too."""
     return F.when(F.lower(col) == "yes", F.lit("true")).otherwise(F.lit("false"))
 
 
@@ -56,11 +61,10 @@ def unpivot_for_persistence(
             cv = coerce_bool(v)
         else:
             cv = v
-        # empty stays "" uncoerced; null treated per type (bool -> 'false')
-        if ptype == "boolean":
-            out = cv
-        else:
-            out = F.when(v.isNull() | (v == ""), F.coalesce(v, F.lit(""))).otherwise(cv)
+        # empty stays "" with NO coercion for ANY type (MetadataUtils
+        # convertDataToBulkFileMetadataInput guards on value.nonEmpty);
+        # nulls normalize to "" first (typed-table analog of an empty cell)
+        out = F.when(v.isNull() | (v == ""), F.lit("")).otherwise(cv)
         coerced.append(F.struct(F.lit(c).alias("name"), out.alias("value")))
     long = df.select(
         F.col(key_col).cast("string").alias(key_col),

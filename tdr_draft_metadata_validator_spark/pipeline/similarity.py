@@ -103,9 +103,17 @@ def lsh_buckets(
 ) -> DataFrame:
     """-> (id, band, bucket) rows: signature split into ``bands`` chunks;
     vectors sharing any chunk land in the same bucket (higher recall than
-    one monolithic signature)."""
+    one monolithic signature).
+
+    ``dim`` is required: Spark array schemas carry no element count, and
+    inferring it with ``.first()`` would launch a driver-side job during
+    plan construction — a hidden action we refuse to hide.
+    """
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required (embedding dimensionality); array<float> schemas "
+            "do not carry a length and inferring it would run a driver job"
+        )
     planes = hyperplanes(dim, n_planes, seed)
     sig = lsh_signature(F.col(vec_col), planes)
     per_band = n_planes // bands
@@ -131,12 +139,14 @@ def lsh_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: bucket equi-join -> exact cosine
     re-rank of candidates only. Same output shape as
     dedup.embedding_near_dups (recall < 1 by construction; bands/planes
-    trade recall for candidate volume)."""
-    b = lsh_buckets(emb, n_planes, bands, seed, id_col, vec_col)
+    trade recall for candidate volume). ``dim`` required (see
+    :func:`lsh_buckets`)."""
+    b = lsh_buckets(emb, n_planes, bands, seed, id_col, vec_col, dim=dim)
     a_side = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bucket")
     b_side = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bucket")
     cand = (

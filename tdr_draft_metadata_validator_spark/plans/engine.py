@@ -14,7 +14,22 @@ doValidation's fail-fast IO chain) Spark-first:
       -> verdict + per-partition metrics
 
 First failing gate wins and later stages never run (Lambda.scala:107-115
-semantics). All row checks are lazy DataFrames; nothing executes until the
+semantics).
+
+DELIBERATE contract difference vs the reference's gate ORDER: the
+reference runs the UTF-8 gate first (Lambda.scala doValidation) because
+its CSV parser cannot even read a non-UTF-8 file; our decode gate (the
+UTF-8 analog) is a full cluster pass over the payload column, while the
+header gates are free driver-side metadata checks — so we run the cheap
+metadata gates first. Consequence: an input failing BOTH a header gate
+and decodability reports the header error (ADDITIONAL_HEADER /
+SCHEMA_REQUIRED), not UTF_8. First-gate-wins semantics are preserved;
+only the precedence among *which* gate fires differs, and only on
+multiply-broken inputs. (For CSV ingest mode, where the byte-level UTF-8
+gate IS cheap — one binaryFile read of the raw file — sources/tables.py
+``load_clips_csv`` runs it before parsing, matching reference order.)
+
+All row checks are lazy DataFrames; nothing executes until the
 verdict/sink actions.
 """
 
@@ -192,8 +207,12 @@ def validate(
 
     metrics = None
     if with_metrics:
+        # wall_ms here is REAL: the merge above already materialized
+        # (merged.count()), so elapsed-since-t0 covers the actual decode +
+        # row-check + merge work, not plan-construction microseconds.
         metrics = partition_metrics(
-            clips, merged, params, n_logical_partitions=n_logical_partitions, key=key
+            clips, merged, params, n_logical_partitions=n_logical_partitions, key=key,
+            wall_ms=int((time.monotonic() - t0) * 1000),
         )
         _mark("metrics plan built")
 

@@ -13,8 +13,6 @@ partitions.
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame, functions as F
 
 from ..models import ValidationParameters
@@ -31,17 +29,19 @@ def partition_metrics(
     n_logical_partitions: int = 64,
     key: str = "clip_id",
     snapshot_id: int | None = None,
+    wall_ms: int | None = None,
 ) -> DataFrame:
     """(run_id, partition_id, snapshot_id, pass, n_rows, n_violations,
     wall_ms) — FIXTURES.md §3 metrics schema.
 
     Two narrow aggregations (key column only) + one small outer join of
-    P-row frames. ``wall_ms`` is stamped with the elapsed time of the
-    metrics pass itself at action time (per-partition task timing is not
-    observable from pure DataFrame ops; the bench harness measures real
-    wall clock end-to-end).
+    P-row frames. ``wall_ms`` is the caller-measured elapsed time of the
+    run that produced these verdicts (the engine stamps the time from
+    run start to the merge materialization — a real action-time
+    measurement). Per-partition task timing is not observable from pure
+    DataFrame ops, so all partitions of a sub-run carry the same value;
+    ``None`` leaves the column null rather than fabricating a timing.
     """
-    t0 = int(time.monotonic() * 1000)
     lp = logical_partition(F.col(key), n_logical_partitions)
     rows_per = clips.select(lp.alias("partition_id")).groupBy("partition_id").agg(
         F.count(F.lit(1)).alias("n_rows")
@@ -62,5 +62,5 @@ def partition_metrics(
         (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("pass"),
         F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
         F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
-        (F.lit(int(time.monotonic() * 1000)) - F.lit(t0)).cast("long").alias("wall_ms"),
+        F.lit(wall_ms).cast("long").alias("wall_ms"),
     )

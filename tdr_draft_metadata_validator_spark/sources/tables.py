@@ -42,9 +42,15 @@ def load_clips_csv(
     spark: SparkSession,
     path: str,
     header_mapping: dict[str, str] | None = None,
+    consignment_id: str | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """S2 analog: CSV -> typed rows + raw headers for the gates.
 
+    - ``consignment_id`` set -> the byte-level UTF-8/BOM gate
+      (Lambda.scala:130-153, UTF8ValidationHandler.scala:8-11) runs FIRST,
+      before any parsing — reference gate order. A non-UTF-8 file raises
+      :class:`~..operators.gates.GateTripped` carrying the FileError.UTF_8
+      verdict (not-utf8-error.json shape).
     - ``header_mapping``: input header -> canonical property
       (inputToPropertyMapper, CSVHandler.scala:26-31). Unmapped headers
       are DROPPED (G6; CSVHandler.scala:40 collects only non-empty
@@ -52,6 +58,12 @@ def load_clips_csv(
     - PERMISSIVE mode + ``_corrupt_record`` gives the INVALID_CSV gate
       (Lambda.scala:283-305) a hook: callers check ``corrupt_count``.
     """
+    if consignment_id is not None:
+        from ..operators.gates import GateTripped, utf8_file_gate
+
+        failure = utf8_file_gate(spark, path, consignment_id)
+        if failure is not None:
+            raise GateTripped(failure)
     headers = raw_csv_headers(spark, path)
     df = (
         spark.read.option("header", True)

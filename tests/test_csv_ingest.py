@@ -75,3 +75,55 @@ def test_csv_ingest_through_engine(spark, tmp_path):
 def test_invalid_csv_gate_none_without_corrupt_col(spark):
     df = spark.createDataFrame([("a",)], "clip_id string")
     assert invalid_csv_gate(df, CID) is None
+
+
+def _write_bytes(tmp_path, name, data: bytes):
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)
+
+
+def test_utf8_gate_trips_on_latin1_csv(spark, tmp_path):
+    """Byte-level UTF-8 gate (Lambda.scala:130-153): a latin-1 CSV must
+    fail with the not-utf8-error.json verdict BEFORE parsing."""
+    from tdr_draft_metadata_validator_spark.operators.gates import GateTripped
+
+    path = _write_bytes(tmp_path, "latin1.csv",
+                        "Clip ID,Transcript\nclip/a.wav,caf\xe9\n".encode("latin-1"))
+    with pytest.raises(GateTripped) as exc:
+        load_clips_csv(spark, path, MAPPING, consignment_id=CID)
+    ef = exc.value.failure.error_file
+    assert ef.fileError == FileError.UTF_8
+    ve = ef.validationErrors[0]
+    assert ve.assetId == CID
+    err = ve.errors[0]
+    assert (err.validationProcess, err.property, err.errorKey) == ("FILE_CHECK", CID, "UTF8")
+    assert err.message == "FILE_CHECK.UTF.INVALID"
+    assert ve.data == []
+
+
+def test_utf8_gate_tolerates_bom(spark, tmp_path):
+    """BOM'd UTF-8 passes the gate (UTF8ValidationHandler BOM tolerance)
+    and flows into parsing normally."""
+    body = "Clip ID,Sample Rate,Duration,Codec,Transcript\nclip/a.wav,16000,500,flac,hi\n"
+    path = _write_bytes(tmp_path, "bom.csv", b"\xef\xbb\xbf" + body.encode("utf-8"))
+    df, headers = load_clips_csv(spark, path, MAPPING, consignment_id=CID)
+    assert df.count() == 1
+
+
+def test_utf8_gate_through_engine_verdict(spark, tmp_path):
+    """GateTripped carries the complete run verdict: serializing it must
+    byte-match the not-utf8 golden shape (assetId = property = cid)."""
+    import json
+
+    from tdr_draft_metadata_validator_spark.operators.gates import GateTripped
+
+    path = _write_bytes(tmp_path, "bad.csv", b"Clip ID\n\xff\xfe broken\n")
+    with pytest.raises(GateTripped) as exc:
+        load_clips_csv(spark, path, MAPPING, consignment_id=CID)
+    ef = exc.value.failure.error_file
+    ef.date = "$today"
+    doc = json.loads(ef.to_json())
+    assert doc["fileError"] == "UTF_8"
+    assert doc["validationErrors"][0]["assetId"] == CID
+    assert doc["validationErrors"][0]["errors"][0]["message"] == "FILE_CHECK.UTF.INVALID"

@@ -76,3 +76,18 @@ def test_metrics_rows(spark, params):
     assert sum(r["n_rows"] for r in m) == 6
     assert all(r["pass"] for r in m)
     assert all(r["run_id"] == params.run_id for r in m)
+    # wall_ms must be REAL (engine stamps the measured elapsed of the
+    # decode+checks+merge actions) or absent — never a fabricated ~0
+    assert all(r["wall_ms"] is None or r["wall_ms"] > 0 for r in m)
+    assert all(r["wall_ms"] == result.wall_ms or r["wall_ms"] <= result.wall_ms
+               for r in m)
+
+
+def test_partition_metrics_wall_ms_null_when_unmeasured(spark, params):
+    """Direct partition_metrics call without a measurement -> null, not 0."""
+    from tdr_draft_metadata_validator_spark.plans.metrics import partition_metrics
+
+    clips, ref = make_tables(spark)
+    result = validate(spark, clips, ref, params, n_logical_partitions=8)
+    m = partition_metrics(clips, result.merged, params, n_logical_partitions=8)
+    assert all(r["wall_ms"] is None for r in m.collect())

@@ -21,11 +21,12 @@ def test_unpivot_and_coercions(spark):
     rows = {(r["clip_id"], r["name"]): r["value"] for r in out.collect()}
     # date -> start-of-day timestamp, exact golden format (MetadataUtils.scala:73)
     assert rows[("a1", "review_date")] == "1990-01-01 00:00:00.0"
-    # yes/no -> true/false; non-yes (incl null) -> false (MetadataUtils.scala:74-78)
+    # yes/no -> true/false for NON-EMPTY cells (MetadataUtils.scala:74-78)
     assert rows[("a1", "approved")] == "true"
     assert rows[("a2", "approved")] == "false"
-    assert rows[("a3", "approved")] == "false"
-    # empty stays "" with NO coercion (MetadataUtils.scala:63)
+    # empty stays "" with NO coercion for ANY type, booleans included
+    # (MetadataUtils convertDataToBulkFileMetadataInput value.nonEmpty guard)
+    assert rows[("a3", "approved")] == ""
     assert rows[("a2", "review_date")] == ""
     assert rows[("a2", "note")] == ""
     # protected column dropped entirely (MetadataUtils.scala:33-43)

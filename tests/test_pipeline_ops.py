@@ -86,7 +86,7 @@ def test_embedding_near_dups_and_lsh_agree(spark):
     e = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
     exact = dedup.embedding_near_dups(e, threshold=0.95)
     assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == {("1", "2")}
-    approx = similarity.lsh_near_dups(e, threshold=0.95, n_planes=6, bands=3)
+    approx = similarity.lsh_near_dups(e, threshold=0.95, n_planes=6, bands=3, dim=4)
     assert {(r["id_a"], r["id_b"]) for r in approx.collect()} == {("1", "2")}
 
 
