@@ -84,16 +84,24 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing >=1 shingle, scored with exact Jaccard.
 
     Inverted-index self-join: explode shingles -> join on shingle ->
     count common shingles per pair -> |A∪B| = |A|+|B|-common. The join
     key is a shingle digest (md5), so the shuffle payload is (digest, id,
-    set-size). Hot shingles (stopword runs) are the skew risk at scale —
-    ``df_cap`` drops shingles appearing in more than ``df_cap`` docs
-    (standard document-frequency pruning; they contribute candidates that
-    exact scoring would reject anyway).
+    set-size). Hot shingles (stopword runs) are the skew risk at scale:
+    a shingle shared by d docs emits O(d^2) join rows. ``df_cap`` is the
+    standard document-frequency pruning guard — shingles appearing in
+    more than ``df_cap`` docs are dropped BEFORE the self-join (one extra
+    groupBy over the already-exploded digests, shuffling ~36 B/row).
+    Set sizes are taken before pruning, so surviving pairs score a
+    slightly CONSERVATIVE Jaccard (common undercounts by the pruned
+    shingles; the union stays exact) — a pair can only be dropped, never
+    promoted above threshold. At 100 TB run with df_cap ~ 10^4: a
+    shingle in >10k docs is boilerplate that contributes 10^8 candidate
+    pairs per occurrence and no near-dup signal.
     """
     base = docs.select(
         F.col(id_col).cast("string").alias("id"),
@@ -102,6 +110,16 @@ def jaccard_pairs(
     flat = base.select("id", "sz", F.explode("sh").alias("g")).withColumn(
         "g", F.md5("g")
     )
+    if df_cap is not None:
+        rare = (
+            flat.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= df_cap)
+            .select("g")
+        )
+        # inner equi-join on the digest; the rare-shingle side is a tiny
+        # projection and AQE broadcast-joins it when it fits
+        flat = flat.join(rare, on="g", how="left_semi")
     a = flat.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = flat.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
     pairs = (

@@ -159,3 +159,32 @@ def test_multimodal_frame_sampling(spark):
     v1 = [r["frame_idx"] for r in frames if r["media_id"] == "v1"]
     assert v1 == [0, 10, 20]
     assert all(len(r["frame"]) <= 256 for r in frames)
+
+
+def test_jaccard_df_cap_prunes_hot_shingles(spark):
+    """df_cap skew guard: one stopword token shared by every doc would
+    emit O(d^2) candidate pairs; capping document frequency drops those
+    candidates while the >=threshold near-dup set is unchanged (the
+    surviving pairs' jaccard is conservative, never inflated)."""
+    rows = [
+        (1, "alpha beta gamma delta eps common"),
+        (2, "alpha beta gamma delta eps zeta common"),
+    ] + [(i, f"uniq{i}a uniq{i}b uniq{i}c common") for i in range(3, 21)]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # candidate volume: uncapped, every pair meets via 'common' (C(20,2))
+    all_pairs = dedup.jaccard_pairs(d, threshold=0.0, n=1)
+    capped_pairs = dedup.jaccard_pairs(d, threshold=0.0, n=1, df_cap=5)
+    n_all, n_capped = all_pairs.count(), capped_pairs.count()
+    assert n_all == 190
+    assert n_capped == 1  # only (1,2) share a sub-cap shingle
+
+    # the >=threshold result set is unchanged by the cap
+    hot = dedup.jaccard_pairs(d, threshold=0.6, n=1)
+    cold = dedup.jaccard_pairs(d, threshold=0.6, n=1, df_cap=5)
+    ids = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
+    assert ids(hot) == ids(cold) == {("1", "2")}
+    # conservative scoring: capped jaccard <= exact jaccard
+    j_hot = hot.collect()[0]["jaccard"]
+    j_cold = cold.collect()[0]["jaccard"]
+    assert j_cold <= j_hot
