@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from tdr_draft_metadata_validator_spark.operators import persist as P
 from tdr_draft_metadata_validator_spark.operators import relational as R
 from tdr_draft_metadata_validator_spark.operators.merge import merge_violations, union_checks
 from tdr_draft_metadata_validator_spark.operators.rules import (
@@ -103,6 +104,68 @@ def q_merge_semigroup(spark, sf):
     ]
     merged = merge_violations(union_checks(checks), key_name="clip_id")
     return merged.select("asset_id", F.size("errors").alias("n_errors"))
+
+
+def q_protected_fields(spark, sf):
+    """J3 (Lambda.scala:257-281): intrinsic fields must equal the reference
+    values — inner key join + one inequality predicate per field. The
+    reference side perturbs deterministic keys so violations exist."""
+    orders = _t(spark, sf, "orders")
+    clips = orders.select(
+        F.col("o_orderkey").alias("clip_id"),
+        F.col("o_custkey").cast("int").alias("sr_hz"),
+        F.floor("o_totalprice").cast("int").alias("dur_ms"),
+    )
+    ref = orders.select(
+        F.col("o_orderkey").alias("clip_id"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey")).cast("int").alias("ref_sr_hz"),
+        F.when(F.col("o_orderkey") % 101 == 0, F.floor("o_totalprice") + 1)
+        .otherwise(F.floor("o_totalprice")).cast("int").alias("ref_dur_ms"),
+    )
+    v = R.protected_fields(clips, ref)
+    return v.select("asset_id", "property", "error_key")
+
+
+def q_attach_file_ids(spark, sf):
+    """J4 (MetadataUtils.scala:53-55): asset key -> file_id enrichment,
+    asserting the anti-join is empty (the reference THROWS on a miss)."""
+    nation = _t(spark, sf, "nation")
+    long_df = P.unpivot_for_persistence(
+        nation.select(
+            F.col("n_nationkey").alias("clip_id"),
+            "n_name",
+            F.col("n_regionkey").cast("string").alias("region"),
+        ),
+        key_col="clip_id",
+        property_types={},
+    )
+    ref = nation.select(
+        F.col("n_nationkey").cast("string").alias("clip_id"),
+        F.concat(F.lit("f-"), F.col("n_nationkey").cast("string")).alias("file_id"),
+    )
+    return P.attach_file_ids(long_df, ref).select("clip_id", "name", "value", "file_id")
+
+
+def q_persist_unpivot(spark, sf):
+    """S7 unpivot + F7/F8 coercions (MetadataUtils.scala:59-81): wide rows
+    -> (key, name, value) with date -> 'yyyy-MM-dd 00:00:00.0', yes/no ->
+    true/false, and empty-passthrough for every type."""
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("clip_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("review_date"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("Yes"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("No"))
+        .otherwise(F.lit("")).alias("approved"),
+        F.col("o_orderpriority").alias("note"),
+        F.col("o_orderstatus").alias("sys_status"),
+    )
+    return P.unpivot_for_persistence(
+        orders,
+        key_col="clip_id",
+        property_types={"review_date": "date", "approved": "boolean"},
+        protected=("sys_status",),
+    )
 
 
 def q_rule_enum(spark, sf):
@@ -303,8 +366,10 @@ def q_ann_topk(spark, sf):
 
 
 def q_embedding_lsh_near_dups(spark, sf):
-    """LSH-bucketed near-dup (scale path) — rows-only check (hyperplanes
-    are numpy-seeded, not SQL-replicable)."""
+    """LSH-bucketed near-dup (scale path). Fully oracle-checked: the
+    seed-42 hyperplanes are plan literals, so the oracle embeds the SAME
+    plane constants and replicates sign-bit signatures term-by-term
+    (left-assoc sums = Spark's aggregate fold, bit-exact)."""
     emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -380,8 +445,9 @@ def q_asof_join(spark, sf):
 
 
 def q_minhash_lsh_candidates(spark, sf):
-    """MinHash LSH banding candidates — rows-only check (band hashing of
-    signature arrays is impractical to mirror in ANSI SQL)."""
+    """MinHash LSH banding candidates. Fully oracle-checked: the md5
+    signature lanes and the per-band md5-of-joined-lanes are both
+    reproducible in DuckDB (same decimal rendering of the lane longs)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     return dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=1)
 
@@ -392,6 +458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unknown_rows": q_unknown_rows,
         "duplicate_rows": q_duplicate_rows,
         "merge_semigroup": q_merge_semigroup,
+        "protected_fields": q_protected_fields,
+        "attach_file_ids": q_attach_file_ids,
+        "persist_unpivot": q_persist_unpivot,
         "rule_enum": q_rule_enum,
         "rule_multi": q_rule_multi,
         "column_stats": q_column_stats,
@@ -474,6 +543,86 @@ def _minhash_sql(num_hashes: int = 4) -> str:
     SELECT id,
       {mins}
     FROM f GROUP BY id
+    """
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of dedup.minhash_lsh_candidates(num_hashes=16,
+    bands=4, n=1) over doc_id<200: md5 lanes -> per-band md5 of the
+    comma-joined lane decimals -> band-bucket self-join."""
+    rows_per_band = num_hashes // bands
+    mins = ",\n      ".join(
+        "min({lane}) AS h{i}".format(lane=_LANE.format(seed=f"'{i}'", x="g"), i=i)
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT id, {b} AS band, md5({cat}) AS bh FROM s".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"CAST(h{b * rows_per_band + j} AS VARCHAR)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             list_distinct(string_split({_NORM}, ' ')) AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    f AS (SELECT id, unnest(toks) AS g FROM d),
+    s AS (SELECT id, {mins} FROM f GROUP BY id),
+    b AS (
+      {band_rows}
+    )
+    SELECT a.id AS id_a, c.id AS id_b, count(*) AS n_bands_matched
+    FROM b a JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.id < c.id
+    GROUP BY a.id, c.id
+    """
+
+
+def _embedding_lsh_sql(threshold: float = 0.3, n_planes: int = 9,
+                       bands: int = 3, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replica of similarity.lsh_near_dups over vec_id<200: the
+    seed-deterministic hyperplanes are embedded as literals, and each
+    sign bit is an explicit left-associated sum v[1]*p1 + ... + v[64]*p64
+    — the same fold order as Spark's ``aggregate(zip_with(...))``, so the
+    signature is bit-exact across engines."""
+    from tdr_draft_metadata_validator_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    bits = []
+    for p in planes:
+        dot = " + ".join(f"(v[{i + 1}] * {x!r})" for i, x in enumerate(p))
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    sig = " || ".join(bits)
+    per_band = n_planes // bands
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT id, v, nrm, {b} AS band, substring(sig, {b * per_band + 1}, {per_band}) AS bucket FROM s"
+        for b in range(bands)
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 200
+    ),
+    s AS (
+      SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm, {sig} AS sig FROM e
+    ),
+    b AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+             a.v AS v_a, c.v AS v_b, a.nrm AS n_a, c.nrm AS n_b
+      FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+                       AND a.id < c.id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(v_a, v_b) / (n_a * n_b), 6) AS cosine
+    FROM cand
+    WHERE round(list_dot_product(v_a, v_b) / (n_a * n_b), 6) >= {threshold}
     """
 
 
@@ -686,7 +835,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(common / (sz_a + sz_b - common)::DOUBLE, 6) >= 0.6
         """,
         "minhash_signatures": _minhash_sql(4),
+        "minhash_lsh_candidates": _minhash_lsh_sql(16, 4),
+        "embedding_lsh_near_dups": _embedding_lsh_sql(0.3, 9, 3, 64, 42),
         "simhash": _simhash_sql(32),
+        "protected_fields": """
+            WITH c AS (
+              SELECT o_orderkey AS k, CAST(o_custkey AS INT) AS sr,
+                     CAST(floor(o_totalprice) AS INT) AS du
+              FROM orders
+            ),
+            r AS (
+              SELECT o_orderkey AS k,
+                     CAST(CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1
+                          ELSE o_custkey END AS INT) AS rsr,
+                     CAST(CASE WHEN o_orderkey % 101 = 0 THEN floor(o_totalprice) + 1
+                          ELSE floor(o_totalprice) END AS INT) AS rdu
+              FROM orders
+            )
+            SELECT CAST(c.k AS VARCHAR) AS asset_id, 'sr_hz' AS property,
+                   'PROTECTED_FIELD' AS error_key
+            FROM c JOIN r ON c.k = r.k WHERE c.sr IS DISTINCT FROM r.rsr
+            UNION ALL
+            SELECT CAST(c.k AS VARCHAR), 'dur_ms', 'PROTECTED_FIELD'
+            FROM c JOIN r ON c.k = r.k WHERE c.du IS DISTINCT FROM r.rdu
+        """,
+        "attach_file_ids": """
+            SELECT l.clip_id, l.name, l.value, 'f-' || l.clip_id AS file_id
+            FROM (
+              SELECT CAST(n_nationkey AS VARCHAR) AS clip_id, 'n_name' AS name,
+                     CASE WHEN n_name IS NULL OR n_name = '' THEN ''
+                          ELSE n_name END AS value
+              FROM nation
+              UNION ALL
+              SELECT CAST(n_nationkey AS VARCHAR), 'region',
+                     CAST(n_regionkey AS VARCHAR)
+              FROM nation
+            ) l
+        """,
+        "persist_unpivot": """
+            WITH o AS (
+              SELECT o_orderkey AS k, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+                     CASE WHEN o_orderkey % 3 = 0 THEN 'Yes'
+                          WHEN o_orderkey % 3 = 1 THEN 'No'
+                          ELSE '' END AS a,
+                     o_orderpriority AS note
+              FROM orders
+            )
+            SELECT CAST(k AS VARCHAR) AS clip_id, 'review_date' AS name,
+                   CASE WHEN d IS NULL OR d = '' THEN ''
+                        ELSE strftime(CAST(d AS DATE), '%Y-%m-%d') || ' 00:00:00.0'
+                   END AS value
+            FROM o
+            UNION ALL
+            SELECT CAST(k AS VARCHAR), 'approved',
+                   CASE WHEN a IS NULL OR a = '' THEN ''
+                        WHEN lower(a) = 'yes' THEN 'true' ELSE 'false' END
+            FROM o
+            UNION ALL
+            SELECT CAST(k AS VARCHAR), 'note',
+                   CASE WHEN note IS NULL OR note = '' THEN '' ELSE note END
+            FROM o
+        """,
         "embedding_near_dups": """
             WITH e AS (
               SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v
@@ -763,6 +972,4 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
         """,
-        # embedding_lsh_near_dups / minhash_lsh_candidates: rows-only
-        # (numpy-seeded hyperplanes / array band hashing not SQL-replicable)
     }
