@@ -177,3 +177,26 @@ def test_pattern_linebreak_transcript(spark):
     run_scenario(spark, "error-file-validation-errors-pattern",
                  pdf, datagen.ref_batch(ids(0, 1, 2)),
                  FileError.SCHEMA_VALIDATION, with_audio=False)
+
+
+def test_invalid_rows_duplicate_with_rule_errors(spark):
+    """error-file-validation-error-invalid-rows-duplicate.json analog
+    (LambdaSpec.scala:100-101): the same asset carries schema rule errors
+    AND a duplicate-rows error AND a protected-field mismatch — the
+    semigroup merge folds row-rule errors WITH relational errors on one
+    assetId (the reference's combined scenario no other golden covers)."""
+    pdf = datagen.clips_batch(ids(0, 1, 2, 2))
+    pdf.loc[2, "sr_hz"] = 12345            # enum violation + protected diff
+    pdf.loc[2, "transcript"] = ""          # required violation
+    result = run_scenario(
+        spark, "error-file-validation-error-invalid-rows-duplicate",
+        pdf, datagen.ref_batch(ids(0, 1, 2)),
+        FileError.SCHEMA_VALIDATION, with_audio=False,
+    )
+    merged = {r["asset_id"]: r for r in result.merged.collect()}
+    combined = merged[datagen.clip_id_of(2)]
+    procs_keys = {(e["validation_process"], e["error_key"]) for e in combined["errors"]}
+    assert ("ROW_VALIDATION", "duplicate") in procs_keys
+    assert ("SCHEMA_BASE", "enum") in procs_keys
+    assert ("SCHEMA_BASE", "required") in procs_keys
+    assert ("PROTECTED_FIELD", "PROTECTED_FIELD") in procs_keys
