@@ -68,6 +68,64 @@ def column_stats(
 # ---------------------------------------------------------------------------
 
 @dataclass
+class ColumnProfile:
+    """Materialized reference distribution for ONE column: decile edges,
+    bin fractions over those edges, and the HLL distinct estimate —
+    everything :func:`drift_check` needs from the reference side."""
+
+    column: str
+    edges: list[float]
+    fractions: list[float]
+    approx_distinct: int
+
+
+# (column, edges, fractions, approx_distinct) — the persisted manifest shape
+PROFILE_SCHEMA = (
+    "column string, edges array<double>, fractions array<double>, "
+    "approx_distinct long"
+)
+
+
+def build_ref_profile(
+    spark,
+    reference: DataFrame,
+    columns: tuple[tuple[str, str], ...] = (("dur_ms", "ref_dur_ms"), ("sr_hz", "ref_sr_hz")),
+    n_bins: int = 10,
+) -> DataFrame:
+    """Materialize the reference's drift profile ONCE per table snapshot
+    (mirrors ``audio.ref_fingerprints``): a tiny DataFrame of
+    (column, edges, fractions, approx_distinct) rows, persisted alongside
+    the snapshot so warm validation runs never scan the reference table
+    for drift at all. At 100 TB this converts 3 reference scans per
+    drifted column per run into zero.
+
+    Keyed by the CURRENT-side column name so consumers never need the
+    ref_* mapping again.
+    """
+    rows = []
+    for col, ref_col in columns:
+        probs = [i / n_bins for i in range(1, n_bins)]
+        edges = sorted(set(_quantiles(reference, ref_col, probs)))
+        p = _bin_fractions(reference, ref_col, edges)
+        rd = reference.agg(F.approx_count_distinct(ref_col)).collect()[0][0]
+        rows.append((col, [float(e) for e in edges], [float(x) for x in p], int(rd)))
+    return spark.createDataFrame(rows, PROFILE_SCHEMA)
+
+
+def load_profiles(profile_df: DataFrame) -> dict[str, ColumnProfile]:
+    """Collect the (tiny: one row per column) profile manifest."""
+    return {
+        r["column"]: ColumnProfile(
+            column=r["column"],
+            edges=list(r["edges"]),
+            fractions=list(r["fractions"]),
+            approx_distinct=int(r["approx_distinct"]),
+        )
+        for r in profile_df.collect()
+    }
+
+
+@dataclass
 class DriftReport:
     column: str
     psi: float
@@ -124,15 +182,20 @@ def ks_from_fractions(p: list[float], q: list[float]) -> float:
 def drift_violations(
     spark,
     current: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     consignment_id: str,
     columns: tuple[tuple[str, str], ...] = (("dur_ms", "ref_dur_ms"), ("sr_hz", "ref_sr_hz")),
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.2,
+    profile_df: DataFrame | None = None,
 ) -> DataFrame:
     """A6 as an engine check: run drift per column pair, emit one
     run-level violation row per breaching column (assetId =
     consignmentId, mirroring the reference's file-level error shape).
+
+    ``profile_df`` (a :func:`build_ref_profile` manifest, typically read
+    from the snapshot's sidecar parquet) makes this a current-table-only
+    pass — the steady-state shape at scale.
 
     Returns a DataFrame in the engine's common violation-row schema so
     the semigroup merge folds drift into the same verdict as row checks.
@@ -140,9 +203,11 @@ def drift_violations(
     from ..messages import resolve as _resolve
     from ..models import PROCESS_DRIFT, VIOLATION_SCHEMA
 
+    profiles = load_profiles(profile_df) if profile_df is not None else {}
     rows = []
     for col, ref_col in columns:
-        rep = drift_check(current, reference, col, ref_col)
+        rep = drift_check(current, reference, col, ref_col,
+                          profile=profiles.get(col))
         if rep.breaches(psi_threshold, ks_threshold):
             rows.append(
                 (
@@ -162,25 +227,37 @@ def drift_violations(
 
 def drift_check(
     current: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     column: str,
     ref_column: str | None = None,
     n_bins: int = 10,
+    profile: ColumnProfile | None = None,
 ) -> DriftReport:
     """A6: PSI + KS of ``column`` vs the reference distribution.
 
     Bin edges = the reference's internal quantiles (deciles by default),
-    so PSI is anchored where the reference has mass. 3 aggregates total,
-    each over one numeric column; O(n_bins) scalars on the driver.
+    so PSI is anchored where the reference has mass.
+
+    Two modes:
+    - ``profile`` given (the scale path): the reference side comes from
+      the materialized :func:`build_ref_profile` manifest — the reference
+      table is touched ZERO times; only the current table is scanned
+      (2 narrow aggs), so ``reference`` may be None.
+    - ``profile`` omitted: the profile is derived inline (3 extra
+      reference aggregates — fine for ad-hoc use, wasteful per-run).
+    O(n_bins) scalars reach the driver either way.
     """
-    ref_column = ref_column or column
-    probs = [i / n_bins for i in range(1, n_bins)]
-    edges = sorted(set(_quantiles(reference, ref_column, probs)))
-    p = _bin_fractions(reference, ref_column, edges)
+    if profile is None:
+        if reference is None:
+            raise ValueError("drift_check needs either a reference table or a profile")
+        ref_column = ref_column or column
+        probs = [i / n_bins for i in range(1, n_bins)]
+        edges = sorted(set(_quantiles(reference, ref_column, probs)))
+        p = _bin_fractions(reference, ref_column, edges)
+        rd = reference.agg(F.approx_count_distinct(ref_column)).collect()[0][0]
+    else:
+        edges, p, rd = profile.edges, profile.fractions, profile.approx_distinct
     q = _bin_fractions(current, column, edges)
-    rd, cd = (
-        reference.agg(F.approx_count_distinct(ref_column)).collect()[0][0],
-        current.agg(F.approx_count_distinct(column)).collect()[0][0],
-    )
+    cd = current.agg(F.approx_count_distinct(column)).collect()[0][0]
     return DriftReport(column=column, psi=psi(p, q), ks=ks_from_fractions(p, q),
                        ref_distinct=int(rd), cur_distinct=int(cd))

@@ -128,6 +128,7 @@ def validate(
     ref_fingerprints: DataFrame | None = None,
     strict_snr: bool = False,
     with_drift: bool = False,
+    drift_profile: DataFrame | None = None,
 ) -> ValidationResult:
     import os as _os
     import sys as _sys
@@ -193,10 +194,12 @@ def validate(
             checks.append(R.unknown_rows(clips, ref, key))
             checks.append(R.protected_fields(clips, ref, params.protected_fields, key))
 
-    if with_drift and ref is not None:
+    if with_drift and (ref is not None or drift_profile is not None):
         from ..operators.stats import drift_violations
 
-        checks.append(drift_violations(spark, clips, ref, cid))
+        checks.append(
+            drift_violations(spark, clips, ref, cid, profile_df=drift_profile)
+        )
 
     violations = union_checks(checks)
     merged = merge_violations(violations, key_name=key).persist()

@@ -39,3 +39,42 @@ def test_drift_shifted_distribution_breaches(spark):
     assert rep.psi > 0.2
     assert rep.ks > 0.2
     assert rep.breaches()
+
+
+def test_drift_profile_matches_inline_and_skips_reference(spark):
+    """The materialized profile reproduces the inline result exactly, and
+    the profiled path never touches the reference (reference=None)."""
+    from tdr_draft_metadata_validator_spark.operators.stats import (
+        build_ref_profile,
+        load_profiles,
+    )
+
+    ref = datagen.clips_df(spark, datagen.clips_batch(np.arange(0, 300)))
+    shifted = datagen.clips_batch(np.arange(0, 300))
+    shifted["dur_ms"] = shifted["dur_ms"] * 3 + 4000
+    cur = datagen.clips_df(spark, shifted)
+
+    inline = drift_check(cur, ref, "dur_ms")
+    prof_df = build_ref_profile(spark, ref, columns=(("dur_ms", "dur_ms"),))
+    prof = load_profiles(prof_df)["dur_ms"]
+    profiled = drift_check(cur, None, "dur_ms", profile=prof)
+    assert profiled.psi == inline.psi
+    assert profiled.ks == inline.ks
+    assert profiled.ref_distinct == inline.ref_distinct
+    assert profiled.breaches()
+
+
+def test_drift_profile_roundtrips_through_parquet(spark, tmp_path):
+    """Snapshot-sidecar flow: write the profile, reload, drift unchanged."""
+    from tdr_draft_metadata_validator_spark.operators.stats import (
+        build_ref_profile,
+        drift_violations,
+    )
+
+    ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(0, 200)))
+    cur = datagen.clips_df(spark, datagen.clips_batch(np.arange(200, 400)))
+    path = str(tmp_path / "profile")
+    build_ref_profile(spark, ref).write.parquet(path)
+    prof_df = spark.read.parquet(path)
+    v = drift_violations(spark, cur, None, "cid-1", profile_df=prof_df)
+    assert v.count() == 0  # same distribution, no breach, zero ref scans

@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--drift", action="store_true",
                    help="add PSI/KS distribution-drift checks vs the "
                         "reference (dur_ms, sr_hz)")
+    p.add_argument("--drift-profile",
+                   help="materialized reference drift profile "
+                        "(operators.stats.build_ref_profile output); built "
+                        "once per reference snapshot so drift checks never "
+                        "re-scan the reference table")
     p.add_argument("--stats", action="store_true",
                    help="print single-pass per-column stats (A5) as JSON "
                         "to stderr before validating")
@@ -106,6 +111,15 @@ def main(argv=None):
 
         print(json.dumps(column_stats(clips), default=str), file=sys.stderr)
 
+    drift_profile = None
+    if args.drift_profile:
+        try:
+            drift_profile = spark.read.parquet(args.drift_profile)
+        except Exception as exc:
+            print(f"error: cannot read --drift-profile "
+                  f"{args.drift_profile!r}: {exc}", file=sys.stderr)
+            return 2
+
     result = validate(
         spark, clips, ref, params,
         with_audio=not args.no_audio,
@@ -113,6 +127,7 @@ def main(argv=None):
         ref_fingerprints=fp,
         strict_snr=args.strict_snr,
         with_drift=args.drift,
+        drift_profile=drift_profile,
     )
 
     os.makedirs(args.output, exist_ok=True)
