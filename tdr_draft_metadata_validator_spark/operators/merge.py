@@ -110,12 +110,61 @@ def collect_error_file(
     )
 
 
-def write_violations_json(merged: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_violations_json(
+    merged: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    n_logical_partitions: int | None = None,
+    validated_partitions: list[int] | None = None,
+) -> None:
     """Distributed sink: one JSON line per asset (S4 analog at scale).
 
     The reference PUTs a single JSON document to S3 (Lambda.scala:316-325);
     at 10^12 rows the violations themselves are big data, so the scale
     sink is a partitioned JSON-lines dataset and the single-document form
     is reserved for small/report use.
+
+    ``n_logical_partitions`` set -> the dataset is laid out by the same
+    logical partition as the lineage manifest and written with DYNAMIC
+    partition overwrite: a resumed/sub-run write replaces only its own
+    partitions' output, never clobbering rows a previous sub-run already
+    produced (an asset lives in exactly one logical partition, so
+    re-validating a partition rewrites exactly its violations).
+
+    ``validated_partitions`` -> the logical partitions this sub-run
+    actually covered; any of them that produced ZERO violations this time
+    get their stale output directory deleted (dynamic overwrite only
+    touches partitions present in the written frame, so a now-clean
+    partition would otherwise keep its old violation rows). Driver-side
+    Hadoop-FS deletes over <= P directories — storage-agnostic and O(P).
     """
-    merged.write.mode(mode).json(path)
+    if n_logical_partitions:
+        from ..plans.metrics import logical_partition
+
+        with_pid = merged.withColumn(
+            "partition_id",
+            logical_partition(F.col("asset_id"), n_logical_partitions),
+        )
+        (
+            with_pid.write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .json(path)
+        )
+        if validated_partitions is not None:
+            present = {
+                int(r[0]) for r in with_pid.select("partition_id").distinct().collect()
+            }
+            stale = [p for p in validated_partitions if p not in present]
+            if stale:
+                spark = merged.sparkSession
+                jvm = spark._jvm
+                fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+                    spark._jsc.hadoopConfiguration()
+                )
+                for p in stale:
+                    hp = jvm.org.apache.hadoop.fs.Path(f"{path}/partition_id={p}")
+                    if fs.exists(hp):
+                        fs.delete(hp, True)
+    else:
+        merged.write.mode(mode).json(path)

@@ -12,11 +12,16 @@ resumable. Design:
   (parquet dataset partitioned by ``partition_id``, written with dynamic
   partition overwrite — retries overwrite their own partition only, so
   lineage rows are exactly-once per (run, partition)).
-- Resume = read the manifest, take partitions with ``pass IS NOT NULL``
-  for the run (i.e. a verdict was recorded), and **anti-join the work
-  list**: the input is filtered to
-  ``logical_partition NOT IN completed`` with a broadcast of the tiny
-  completed set (P rows, never a shuffle of the input).
+- Resume = read the manifest, take partitions whose latest verdict for
+  the run is ``pass = true`` (failed partitions are re-validated, not
+  skipped), and filter the work list: the input is pruned to
+  ``logical_partition NOT IN completed`` with a codegen'd literal-set
+  probe (P ids, never a shuffle of the input). Prior ``pass = false``
+  rows still in the manifest are folded into the final run verdict by
+  the CLI, so resuming cannot launder a failure into success.
+- Lineage granularity = one record_partitions call per sub-run
+  (``--sub-runs K`` splits a run into K chunks, each recording lineage
+  as it finishes); a crash loses at most the in-flight sub-run.
 - ``snapshot_id`` pins the table version. With real Iceberg jars the
   reader uses ``option("snapshot-id", ...)``; sources/iceberg.py stubs
   that behind an import-try in this image.
@@ -47,15 +52,41 @@ def record_partitions(metrics: DataFrame, checkpoint_dir: str) -> None:
     )
 
 
-def completed_partitions(spark: SparkSession, checkpoint_dir: str, run_id: str) -> list[int]:
-    """Partition ids with a recorded verdict for this run (small: <= P)."""
-    path = manifest_path(checkpoint_dir)
+def _manifest(spark: SparkSession, checkpoint_dir: str):
     try:
-        m = spark.read.parquet(path)
+        return spark.read.parquet(manifest_path(checkpoint_dir))
     except Exception:
+        return None
+
+
+def completed_partitions(spark: SparkSession, checkpoint_dir: str, run_id: str) -> list[int]:
+    """Partition ids whose recorded verdict for this run is PASS (small:
+    <= P rows collected). pass=false partitions are deliberately NOT
+    'completed': a resume re-validates them (their lineage row is then
+    overwritten in place by the dynamic-partition write), so a resumed
+    run converges on an all-pass manifest or keeps reporting failure —
+    it never silently skips known-bad work."""
+    m = _manifest(spark, checkpoint_dir)
+    if m is None:
         return []
     rows = (
-        m.where(F.col("run_id") == run_id)
+        m.where((F.col("run_id") == run_id) & F.col("pass"))
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["partition_id"]) for r in rows)
+
+
+def failed_partitions(spark: SparkSession, checkpoint_dir: str, run_id: str) -> list[int]:
+    """Partition ids whose LATEST recorded verdict for this run is FAIL —
+    folded into the final run verdict/exit code so a resumed run cannot
+    report success while the manifest still carries failures."""
+    m = _manifest(spark, checkpoint_dir)
+    if m is None:
+        return []
+    rows = (
+        m.where((F.col("run_id") == run_id) & ~F.col("pass"))
         .select("partition_id")
         .distinct()
         .collect()
@@ -78,6 +109,19 @@ def filter_resume(
         return clips
     lp = logical_partition(F.col(key), n_logical_partitions)
     return clips.where(~lp.isin(completed))
+
+
+def filter_to_partitions(
+    df: DataFrame,
+    parts: list[int],
+    n_logical_partitions: int,
+    key: str = "clip_id",
+) -> DataFrame:
+    """Keep ONLY rows of the given logical partitions (sub-run work list —
+    the inverse of :func:`filter_resume`). Same codegen'd hash-set probe,
+    pushed into the scan; no join, no shuffle."""
+    lp = logical_partition(F.col(key), n_logical_partitions)
+    return df.where(lp.isin(parts))
 
 
 def resume_run(

@@ -46,13 +46,56 @@ def test_cli_full_run_and_resume(spark, small_tables, tmp_path, capsys, monkeypa
     with open(f"{out}/error-file.json") as fh:
         doc = fh.read()
     assert '"fileError" : "SCHEMA_VALIDATION"' in doc
-    # resume: all partitions recorded -> second run validates nothing new
+    # resume: only PASSED partitions are skipped; the failing partition is
+    # re-validated and the run keeps reporting failure (no laundering)
     rc2 = cli.main([
         "--table", clips, "--ref", ref, "--output", str(tmp_path / "out2"),
         "--checkpoint", ckpt, "--run-id", "rcli", "--partitions", "8",
         "--resume", "--no-audio",
     ])
     report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert report2["resumed_partitions"] == 8
-    assert report2["violation_assets"] == 0
-    assert rc2 == 0
+    assert report2["resumed_partitions"] == 7   # 1 failed partition re-runs
+    assert report2["violation_assets"] == 1
+    assert report2["manifest_failed_partitions"] == 1
+    assert rc2 == 1
+
+    # repair cycle: fix the offending row, resume into the SAME output —
+    # the re-validated partition passes, its stale violations are cleared
+    # (dynamic overwrite + stale-partition delete), manifest converges
+    clips2 = str(tmp_path / "clips2.parquet")
+    pdf_fixed = datagen.clips_batch(np.arange(30))
+    datagen.clips_df(spark, pdf_fixed).write.parquet(clips2)
+    rc3 = cli.main([
+        "--table", clips2, "--ref", ref, "--output", out,
+        "--checkpoint", ckpt, "--run-id", "rcli", "--partitions", "8",
+        "--resume", "--no-audio",
+    ])
+    report3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc3 == 0
+    assert report3["status"] == "success"
+    assert report3["manifest_failed_partitions"] == 0
+    import glob
+    residual = [p for p in glob.glob(f"{out}/violations/**/*.json", recursive=True)]
+    assert all(open(p).read().strip() == "" for p in residual), residual
+
+
+def test_cli_sub_runs_incremental_lineage(spark, small_tables, tmp_path, capsys):
+    """--sub-runs K: lineage + violations are recorded after EACH chunk,
+    so a crash loses at most one chunk; the final verdict is identical to
+    a single-shot run."""
+    clips, ref = small_tables
+    out = str(tmp_path / "out_sub")
+    ckpt = str(tmp_path / "ckpt_sub")
+    rc = cli.main([
+        "--table", clips, "--ref", ref, "--output", out,
+        "--checkpoint", ckpt, "--run-id", "rsub", "--partitions", "8",
+        "--sub-runs", "4", "--no-audio",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and report["violation_assets"] == 1
+    m = spark.read.parquet(f"{ckpt}/lineage")
+    recorded = {r["partition_id"] for r in m.select("partition_id").distinct().collect()}
+    assert len(recorded) == 8          # every partition has a lineage row
+    assert spark.read.json(f"{out}/violations").count() == 1
+    with open(f"{out}/error-file.json") as fh:
+        assert '"fileError" : "SCHEMA_VALIDATION"' in fh.read()

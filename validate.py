@@ -38,6 +38,11 @@ def main(argv=None):
                         "(operators.audio.ref_fingerprints output); rebuilt "
                         "per reference snapshot, saves a full ref_pcm scan")
     p.add_argument("--partitions", type=int, default=256, help="logical partitions")
+    p.add_argument("--sub-runs", type=int, default=1,
+                   help="split the run into K chunks of logical partitions, "
+                        "recording lineage + violations after EACH chunk — a "
+                        "crash loses at most the in-flight chunk and --resume "
+                        "picks up from the last recorded one")
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--strict-snr", action="store_true",
                    help="audit mode: sample-level SNR compare on every "
@@ -55,9 +60,14 @@ def main(argv=None):
                         "to stderr before validating")
     args = p.parse_args(argv)
 
-    from tdr_draft_metadata_validator_spark.models import ValidationParameters
-    from tdr_draft_metadata_validator_spark.operators.merge import write_violations_json
+    from tdr_draft_metadata_validator_spark.models import FileError, ValidationParameters
+    from tdr_draft_metadata_validator_spark.operators.merge import (
+        collect_error_file,
+        write_violations_json,
+    )
     from tdr_draft_metadata_validator_spark.plans.checkpoint import (
+        failed_partitions,
+        filter_to_partitions,
         record_partitions,
         resume_run,
     )
@@ -120,46 +130,128 @@ def main(argv=None):
                   f"{args.drift_profile!r}: {exc}", file=sys.stderr)
             return 2
 
-    result = validate(
-        spark, clips, ref, params,
-        with_audio=not args.no_audio,
-        n_logical_partitions=args.partitions,
-        ref_fingerprints=fp,
-        strict_snr=args.strict_snr,
-        with_drift=args.drift,
-        drift_profile=drift_profile,
-    )
+    # ---- sub-run chunking: lineage + violations recorded PER CHUNK -------
+    # (a crash loses at most the in-flight chunk; --resume re-enters here
+    # with the recorded chunks' partitions excluded from the work list)
+    if args.sub_runs > 1:
+        import math
+
+        remaining = [x for x in range(args.partitions) if x not in set(done)]
+        size = max(1, math.ceil(len(remaining) / args.sub_runs))
+        chunks = [remaining[i:i + size] for i in range(0, len(remaining), size)]
+    else:
+        chunks = [None]  # one sub-run over the (resume-filtered) input
 
     os.makedirs(args.output, exist_ok=True)
-    if result.merged is not None:
-        write_violations_json(result.merged, os.path.join(args.output, "violations"))
-    if result.metrics is not None and args.checkpoint:
-        record_partitions(result.metrics, args.checkpoint)
+    violations_path = os.path.join(args.output, "violations")
+    doc_path = os.path.join(args.output, "error-file.json")
+
+    mergeds = []
+    overall_error = FileError.NONE
+    gate_result = None
+    total_wall_ms = 0
+    not_done = [x for x in range(args.partitions) if x not in set(done)]
+    for chunk in chunks:
+        validated = chunk if chunk is not None else not_done
+        c = clips if chunk is None else filter_to_partitions(clips, chunk, args.partitions)
+        r_ = ref if (ref is None or chunk is None) else filter_to_partitions(
+            ref, chunk, args.partitions
+        )
+        result = validate(
+            spark, c, r_, params,
+            with_audio=not args.no_audio,
+            n_logical_partitions=args.partitions,
+            ref_fingerprints=fp,
+            strict_snr=args.strict_snr,
+            with_drift=args.drift,
+            drift_profile=drift_profile,
+        )
+        total_wall_ms += result.wall_ms
+        if result.gate_error_file is not None:
+            gate_result = result
+            break
+        if result.merged is not None:
+            # dynamic overwrite by logical partition: this chunk's write
+            # replaces only its own partitions' output, never a previous
+            # sub-run's rows
+            write_violations_json(
+                result.merged, violations_path,
+                n_logical_partitions=args.partitions,
+                validated_partitions=validated,
+            )
+            mergeds.append(result.merged)
+        if result.metrics is not None and args.checkpoint:
+            record_partitions(result.metrics, args.checkpoint)
+        if not result.passed:
+            overall_error = result.file_error
+
+    if gate_result is not None:
+        with open(doc_path, "w") as fh:
+            fh.write(gate_result.error_file().to_json() + "\n")
+        print(json.dumps({
+            "run_id": args.run_id,
+            "status": "failure",
+            "fileError": gate_result.file_error.value,
+            "violation_assets": 0,
+            "resumed_partitions": len(done),
+            "wall_ms": total_wall_ms,
+        }))
+        if not preexisting:
+            spark.stop()
+        return 1
+
+    # fold the manifest into the verdict: a resumed run must not report
+    # success while ANY partition's latest recorded verdict is fail
+    manifest_failed = (
+        failed_partitions(spark, args.checkpoint, args.run_id)
+        if args.checkpoint else []
+    )
+    if overall_error == FileError.NONE and manifest_failed:
+        overall_error = FileError.SCHEMA_VALIDATION
+
+    merged_all = None
+    if mergeds:
+        merged_all = mergeds[0]
+        for m in mergeds[1:]:
+            merged_all = merged_all.unionByName(m)
 
     # single-document verdict (always written — Lambda.scala:81 semantics);
     # guarded for scale: only assembled when the violation count is sane
-    doc_path = os.path.join(args.output, "error-file.json")
-    n_assets = result.merged.count() if result.merged is not None else 0
-    if result.gate_error_file is not None or n_assets <= 100_000:
+    n_assets = merged_all.count() if merged_all is not None else 0
+    if n_assets <= 100_000:
         with open(doc_path, "w") as fh:
-            fh.write(result.error_file().to_json() + "\n")
+            fh.write(
+                collect_error_file(
+                    merged_all, args.consignment_id, overall_error
+                ).to_json() + "\n"
+                if merged_all is not None
+                else collect_error_file(
+                    spark.createDataFrame(
+                        [],
+                        "asset_id string, errors array<struct<validation_process:string,property:string,error_key:string,message:string>>, data array<struct<name:string,value:string>>",
+                    ),
+                    args.consignment_id, overall_error,
+                ).to_json() + "\n"
+            )
     else:
         with open(doc_path, "w") as fh:
-            json.dump({"fileError": result.file_error.value,
+            json.dump({"fileError": overall_error.value,
                        "violationAssets": n_assets,
                        "detail": "see violations/ JSON-lines dataset"}, fh)
 
+    passed = overall_error == FileError.NONE
     print(json.dumps({
         "run_id": args.run_id,
-        "status": "success" if result.passed else "failure",
-        "fileError": result.file_error.value,
+        "status": "success" if passed else "failure",
+        "fileError": overall_error.value,
         "violation_assets": n_assets,
         "resumed_partitions": len(done),
-        "wall_ms": result.wall_ms,
+        "manifest_failed_partitions": len(manifest_failed),
+        "wall_ms": total_wall_ms,
     }))
     if not preexisting:
         spark.stop()
-    return 0 if result.passed else 1
+    return 0 if passed else 1
 
 
 if __name__ == "__main__":
