@@ -72,6 +72,42 @@ def merge_violations(violations: DataFrame, key_name: str = "clip_id") -> DataFr
     )
 
 
+def map_violation_properties(merged: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """propertyToOutputMapper analog (CSVHandler.scala:26-31): rename the
+    canonical property names in merged violation rows to the caller's
+    display/output headers — ``property`` inside each error struct and
+    ``name`` inside each data entry. Unmapped names pass through.
+
+    One projection (two array ``transform``s over a literal map lookup);
+    no shuffle, no UDF — apply it between the merge and any sink so both
+    the JSON-lines dataset and the single-document verdict speak the
+    user's header language.
+    """
+    if not mapping:
+        return merged
+    lit_map = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+
+    def disp(col):
+        return F.coalesce(lit_map[col], col)
+
+    errors2 = F.transform(
+        F.col("errors"),
+        lambda e: F.struct(
+            e["validation_process"].alias("validation_process"),
+            disp(e["property"]).alias("property"),
+            e["error_key"].alias("error_key"),
+            e["message"].alias("message"),
+        ),
+    )
+    data2 = F.transform(
+        F.col("data"),
+        lambda d: F.struct(disp(d["name"]).alias("name"), d["value"].alias("value")),
+    )
+    return merged.select(
+        "asset_id", errors2.alias("errors"), data2.alias("data")
+    )
+
+
 def run_verdict(merged: DataFrame) -> FileError:
     """Any violations -> SCHEMA_VALIDATION, else None (Lambda.scala:225-228)."""
     return FileError.SCHEMA_VALIDATION if not merged.isEmpty() else FileError.NONE

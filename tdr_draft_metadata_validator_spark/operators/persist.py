@@ -42,14 +42,19 @@ def unpivot_for_persistence(
     key_col: str,
     property_types: dict[str, str],
     protected: tuple[str, ...] = (),
+    output_mapping: dict[str, str] | None = None,
 ) -> DataFrame:
     """-> (key, file_id?, name, value) long-form rows.
 
     ``property_types`` maps column -> 'date' | 'boolean' | 'text'
     (getPropertyType analog, Lambda.scala:213 / MetadataUtils.scala:58).
     Protected ('System'-type) columns are dropped before the unpivot
-    (MetadataUtils.scala:33-43).
+    (MetadataUtils.scala:33-43). ``output_mapping`` renames the emitted
+    ``name`` values canonical-property -> display/persistence header
+    (propertyToOutputMapper analog, CSVHandler.scala:26-31); unmapped
+    names pass through.
     """
+    output_mapping = output_mapping or {}
     cols = [c for c in df.columns if c != key_col and c not in protected]
     coerced = []
     for c in cols:
@@ -65,7 +70,9 @@ def unpivot_for_persistence(
         # convertDataToBulkFileMetadataInput guards on value.nonEmpty);
         # nulls normalize to "" first (typed-table analog of an empty cell)
         out = F.when(v.isNull() | (v == ""), F.lit("")).otherwise(cv)
-        coerced.append(F.struct(F.lit(c).alias("name"), out.alias("value")))
+        coerced.append(
+            F.struct(F.lit(output_mapping.get(c, c)).alias("name"), out.alias("value"))
+        )
     long = df.select(
         F.col(key_col).cast("string").alias(key_col),
         F.explode(F.array(*coerced)).alias("kv"),

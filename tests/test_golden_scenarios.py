@@ -200,3 +200,34 @@ def test_invalid_rows_duplicate_with_rule_errors(spark):
     assert ("SCHEMA_BASE", "enum") in procs_keys
     assert ("SCHEMA_BASE", "required") in procs_keys
     assert ("PROTECTED_FIELD", "PROTECTED_FIELD") in procs_keys
+
+
+def test_display_header_roundtrip(spark):
+    """propertyToOutputMapper analog (CSVHandler.scala:26-31): violations
+    computed on canonical properties are emitted with the user's DISPLAY
+    headers — the output side of the header mapping whose input side is
+    load_clips_csv's header_mapping. Golden locks the display names."""
+    from tdr_draft_metadata_validator_spark.operators.merge import (
+        collect_error_file,
+        map_violation_properties,
+    )
+
+    display = {"sr_hz": "Sample Rate", "transcript": "Transcript",
+               "clip_id": "Clip ID", "codec": "Codec"}
+    pdf = datagen.clips_batch(ids(0, 1, 2))
+    pdf.loc[1, "sr_hz"] = 12345
+    pdf.loc[2, "transcript"] = ""
+    clips = datagen.clips_df(spark, pdf)
+    ref = datagen.ref_df(spark, datagen.ref_batch(ids(0, 1, 2)))
+    result = validate(spark, clips, ref, ValidationParameters(consignment_id=CID),
+                      with_audio=False)
+    mapped = map_violation_properties(result.merged, display)
+    doc = collect_error_file(mapped, CID, result.file_error, date="$today").to_json()
+    golden = GOLDEN_DIR / "error-file-display-headers.json"
+    if os.environ.get("REGEN_GOLDENS") == "1":
+        golden.write_text(doc + "\n")
+    assert golden.exists(), f"golden missing: {golden} (set REGEN_GOLDENS=1)"
+    assert doc + "\n" == golden.read_text()
+    assert '"property" : "Sample Rate"' in doc
+    assert '"name" : "Clip ID"' in doc
+    assert "sr_hz" not in doc  # every canonical name mapped out

@@ -33,3 +33,19 @@ def test_unpivot_and_coercions(spark):
     assert ("a1", "sys") not in rows
     # plain text passthrough
     assert rows[("a1", "note")] == "hello"
+
+
+def test_unpivot_output_mapping(spark):
+    """propertyToOutputMapper on the persistence path: emitted names use
+    the display header; unmapped columns pass through."""
+    df = spark.createDataFrame(
+        [("a1", "1990-01-01", "hello")],
+        "clip_id string, review_date string, note string",
+    )
+    out = unpivot_for_persistence(
+        df, key_col="clip_id",
+        property_types={"review_date": "date"},
+        output_mapping={"review_date": "Review Date"},
+    )
+    names = {r["name"] for r in out.collect()}
+    assert names == {"Review Date", "note"}
