@@ -174,7 +174,8 @@ def clips_base_rules(sr_domain=(8000, 16000, 22050, 44100),
 
 # -- the compiler ------------------------------------------------------------
 
-def compile_rules(df: DataFrame, rules: list[Rule], key_col: str = "clip_id") -> DataFrame:
+def compile_rules(df: DataFrame, rules: list[Rule], key_col: str = "clip_id",
+                  passthrough_cols: list[str] | None = None) -> DataFrame:
     """Evaluate all rules in ONE select pass -> violation rows.
 
     Output schema matches models.VIOLATION_SCHEMA. Each rule contributes a
@@ -182,7 +183,12 @@ def compile_rules(df: DataFrame, rules: list[Rule], key_col: str = "clip_id") ->
     are exploded. Catalyst folds this into a single whole-stage-codegen
     projection over one scan; only columns referenced by rules + the key
     are read (column pruning -> parquet ReadSchema stays narrow).
+
+    ``passthrough_cols`` ride along unchanged (appended after the standard
+    violation columns) — e.g. an event-time column for the streaming
+    windowed aggregate, or a partition column for routed sinks.
     """
+    passthrough_cols = passthrough_cols or []
     elems = []
     for r in rules:
         data_arr = F.array(
@@ -208,9 +214,13 @@ def compile_rules(df: DataFrame, rules: list[Rule], key_col: str = "clip_id") ->
         )
     packed = F.array_compact(F.array(*elems))
     exploded = (
-        df.select(F.col(key_col).cast("string").alias("asset_id"), packed.alias("__v"))
+        df.select(
+            F.col(key_col).cast("string").alias("asset_id"),
+            *[F.col(c) for c in passthrough_cols],
+            packed.alias("__v"),
+        )
         .where(F.size("__v") > 0)
-        .select("asset_id", F.explode("__v").alias("v"))
+        .select("asset_id", *passthrough_cols, F.explode("__v").alias("v"))
     )
     return exploded.select(
         "asset_id",
@@ -219,4 +229,5 @@ def compile_rules(df: DataFrame, rules: list[Rule], key_col: str = "clip_id") ->
         F.col("v.error_key").alias("error_key"),
         F.col("v.message").alias("message"),
         F.col("v.data").alias("data"),
+        *passthrough_cols,
     )

@@ -38,13 +38,31 @@ def violation_rate_stream(
     window: str = "1 minute",
     watermark: str = "2 minutes",
     key: str = "clip_id",
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """Windowed violation counts per (window, process, error_key) with a
-    watermark for late arrivals. Needs an event-time column; file sources
-    get an ingest-time stamp."""
-    v = violations_stream(clips_stream.withColumn("__ts", F.current_timestamp()), rules, key)
-    # re-attach the timestamp (compile_rules projects it away): stamp here
-    v = v.withColumn("__ts", F.current_timestamp())
+    watermark for late arrivals.
+
+    ``event_time_col`` names an event-time column on the input — late
+    data is then handled against TRUE event time (the honest streaming
+    configuration). When the source has no event time (plain file drops),
+    it defaults to an ingest-time stamp applied AFTER the rule pass,
+    which makes the watermark processing-time: correct counts, but
+    "late" means late-to-arrive, not late-by-event-time.
+    """
+    if event_time_col is not None:
+        keyed = (
+            clips_stream.withColumnRenamed(event_time_col, "__ts")
+            if event_time_col != "__ts" else clips_stream
+        )
+        v = compile_rules(
+            keyed, rules if rules is not None else clips_base_rules(), key,
+            passthrough_cols=["__ts"],
+        )
+    else:
+        v = violations_stream(clips_stream, rules, key).withColumn(
+            "__ts", F.current_timestamp()
+        )
     return (
         v.withWatermark("__ts", watermark)
         .groupBy(F.window("__ts", window), "validation_process", "error_key")

@@ -45,3 +45,40 @@ def test_streaming_violation_rate_window(spark, tmp_path):
         q.stop()
     got = {r["error_key"]: r["n"] for r in rows}
     assert got.get("enum") == 2
+
+
+def test_streaming_violation_rate_event_time(spark, tmp_path):
+    """event_time_col mode: windows keyed by TRUE event time carried
+    through the rule pass (passthrough_cols), not ingest time."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in3")
+    pdf = datagen.clips_batch(np.arange(6))
+    pdf.loc[1, "sr_hz"] = 12345   # violation in the 10:00 window
+    pdf.loc[4, "sr_hz"] = 999     # violation in the 11:00 window
+    df = datagen.clips_df(spark, pdf).withColumn(
+        "event_ts",
+        F.when(F.col("clip_id") < datagen.clip_id_of(3),
+               F.lit("2026-01-01 10:00:30")).otherwise(
+               F.lit("2026-01-01 11:00:30")).cast("timestamp"),
+    )
+    df.write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 4).parquet(src)
+    )
+    agg = violation_rate_stream(stream, window="1 minute",
+                                event_time_col="event_ts")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory").queryName("rate_et").start()
+    )
+    q.processAllAvailable()
+    try:
+        rows = spark.sql(
+            "SELECT window.start AS ws, error_key, n_violations FROM rate_et"
+        ).collect()
+    finally:
+        q.stop()
+    by_window = {str(r["ws"]): r["n_violations"] for r in rows}
+    assert by_window == {"2026-01-01 10:00:00": 1, "2026-01-01 11:00:00": 1}

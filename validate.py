@@ -60,6 +60,7 @@ def main(argv=None):
                         "to stderr before validating")
     args = p.parse_args(argv)
 
+    from tdr_draft_metadata_validator_spark import __version__ as engine_version
     from tdr_draft_metadata_validator_spark.models import FileError, ValidationParameters
     from tdr_draft_metadata_validator_spark.operators.merge import (
         collect_error_file,
@@ -195,6 +196,9 @@ def main(argv=None):
             "violation_assets": 0,
             "resumed_partitions": len(done),
             "wall_ms": total_wall_ms,
+            # schema-library version in the run response
+            # (Lambda.scala:82-84,96-103, DependencyVersionReader.scala:8-13)
+            "engine_version": engine_version,
         }))
         if not preexisting:
             spark.stop()
@@ -248,6 +252,7 @@ def main(argv=None):
         "resumed_partitions": len(done),
         "manifest_failed_partitions": len(manifest_failed),
         "wall_ms": total_wall_ms,
+        "engine_version": engine_version,
     }))
     if not preexisting:
         spark.stop()
