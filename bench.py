@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "rule_multi", "column_stats", "partition_metrics", "groupby_agg",
     "topk_per_group", "dedup_exact", "fingerprint", "jaccard_pairs",
     "minhash_lsh_candidates", "simhash", "ann_topk",
+    "protected_fields", "persist_unpivot", "embedding_lsh_near_dups",
 ]
 
 

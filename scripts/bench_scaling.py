@@ -116,15 +116,6 @@ def measure(label, n_rows, clips_path, ref_path, fp_path, with_audio,
     return rep
 
 
-def ensure_decode_table(spark, n=120_000):
-    from tdr_draft_metadata_validator_spark import datagen
-
-    cp = BENCH_DATA / f"clips_{n}.parquet"
-    if not cp.exists():
-        datagen.generate_clips(spark, n, partitions=64).write.mode("overwrite").parquet(str(cp))
-    return str(cp)
-
-
 def main():
     from tdr_draft_metadata_validator_spark.session import get_spark
     from bench import ensure_bench_tables
@@ -132,10 +123,14 @@ def main():
     gen = get_spark(app_name="scaling-gen", master="local[32]")
     clips_path, ref_path, fp_path = ensure_bench_tables(gen, N_CLIPS)
     meta_clips, meta_ref = ensure_meta_tables(gen, N_META)
-    decode_clips = ensure_decode_table(gen, 60_000)
     gen.stop()
 
-    decode = measure("decode-gate", 60_000, decode_clips, None, None, True, n_small=2)
+    # decode-gate reuses the full-size clips table: at 240k rows the fast
+    # side runs >=20 s, so the ~1.5-2 s fixed scheduling/worker-startup
+    # overhead is <10% of wall and the RAW ratio reflects the engine
+    # (round-1 ran this at 60k rows where overhead was ~35% of the 5 s
+    # fast side and depressed the raw ratio to 0.71-0.78)
+    decode = measure("decode-gate", N_CLIPS, clips_path, None, None, True, n_small=2)
     audio = measure("full-audio", N_CLIPS, clips_path, ref_path, fp_path, True)
     relational = measure("relational", N_META, meta_clips, meta_ref, None, False)
 
@@ -159,8 +154,11 @@ what core-scaling can show. Each workload below isolates one regime.
 ## Workload 1 — decode-gate (compute-bound; the criterion's regime)
 
 Zero-shuffle decodability validation (ref=None: Arrow decode pass + rule
-pass + duplicate agg + merge + metrics) over 60,000 cache-resident WAV
-clips, local[{decode['cores_small']}] vs local[{decode['cores_big']}].
+pass + duplicate agg + merge + metrics) over {decode['n_rows']:,}
+cache-resident WAV clips — sized so the FAST side runs >= 20 s and the
+~1.5-2 s fixed scheduling overhead is <10% of wall (the raw ratio, no
+overhead correction needed) — local[{decode['cores_small']}] vs
+local[{decode['cores_big']}].
 
 | | local[{decode['cores_small']}] (N) | local[{decode['cores_big']}] (4N) |
 |---|---|---|

@@ -33,7 +33,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions.audio_codec import encode_wav_pcm16
+from .functions.audio_codec import encode_ulaw, encode_wav_pcm16
 from .models import CLIPS_SCHEMA, REF_CLIPS_SCHEMA
 
 SEED = 42
@@ -104,18 +104,26 @@ def file_id_of(i: int) -> str:
 # -- pandas builders (driver-side fixtures + executor-side batches) ---------
 
 def clips_batch(indices: np.ndarray, seed: int = SEED,
-                dur_min: int = 200, dur_max: int = 2000) -> pd.DataFrame:
+                dur_min: int = 200, dur_max: int = 2000,
+                ulaw_every: int | None = None) -> pd.DataFrame:
+    """``ulaw_every=k`` makes every k-th clip a REAL mu-law payload
+    (codec='ulaw', genuinely lossy vs ref_pcm) — exercises the engine's
+    hash-mismatch -> SNR residue path with true lossy data."""
     rows = []
     for i in map(int, indices):
         pcm = pcm_of(i, seed, dur_min, dur_max)
         sr = sr_of(i, seed)
+        if ulaw_every and i % ulaw_every == 0:
+            payload, codec = encode_ulaw(pcm, sr), "ulaw"
+        else:
+            payload, codec = encode_wav_pcm16(pcm, sr), codec_of(i, seed)
         rows.append(
             (
                 clip_id_of(i),
-                encode_wav_pcm16(pcm, sr),
+                payload,
                 sr,
                 dur_of(i, seed, dur_min, dur_max),
-                codec_of(i, seed),
+                codec,
                 transcript_of(i, seed),
             )
         )

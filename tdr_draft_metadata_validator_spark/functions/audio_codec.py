@@ -6,13 +6,21 @@ Lambda.scala:257-281) needs to (a) decode ``bytes`` under the declared
 ``codec`` and (b) compare decoded PCM against a reference PCM with an
 SNR >= 30 dB allclose criterion.
 
-Only PCM16 WAV (RIFF) is implemented for real — it is pure byte layout,
-parseable with ``struct``/numpy. ``flac`` and ``opus`` decoders are
-STUBS: the container image has no audio libraries, so they are
-deterministic fakes that delegate to the WAV parser (the synthetic
-generator always produces RIFF payloads). The Spark-side plumbing
-(binary column in, Arrow batch, PCM out) is real and tested; swapping a
-stub for ``soundfile``/``pyogg`` is a one-function change.
+Two codecs are REAL:
+
+- **pcm_s16le** — RIFF/WAVE PCM16, pure byte layout.
+- **ulaw** — G.711-style mu-law companding (mu=255, 8-bit codes) in a
+  minimal container. Genuinely LOSSY: decoded PCM differs from the
+  original, so these payloads exercise the engine's hash-mismatch ->
+  sample-level-SNR residue path for real (quantization SNR ~35-40 dB on
+  sine/speech-like signals — above the 30 dB threshold, below bit-exact).
+
+``flac`` and ``opus`` decoders remain STUBS: the container image has no
+audio libraries, so they are deterministic fakes that delegate to the
+WAV parser (the synthetic generator always produces RIFF payloads for
+them). Swapping a stub for ``soundfile``/``pyogg`` is a one-function
+change; the lossy-path plumbing they would exercise is already covered
+end-to-end by ``ulaw``.
 """
 
 from __future__ import annotations
@@ -21,7 +29,7 @@ import struct
 
 import numpy as np
 
-CODEC_WHITELIST = ("pcm_s16le", "flac", "opus")
+CODEC_WHITELIST = ("pcm_s16le", "ulaw", "flac", "opus")
 
 _RIFF_HEADER = struct.Struct("<4sI4s")
 _FMT_CHUNK = struct.Struct("<4sIHHIIHH")
@@ -77,6 +85,39 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
     raise ValueError("no data chunk found")
 
 
+# -- mu-law (G.711-style) — a REAL lossy codec, pure numpy -------------------
+
+_ULAW_MAGIC = b"ULAW"
+_ULAW_HDR = struct.Struct("<4sII")  # magic, sr_hz, n_samples
+_MU = 255.0
+
+
+def encode_ulaw(samples: np.ndarray, sr_hz: int) -> bytes:
+    """Compand int16 mono samples to 8-bit mu-law codes (mu=255) in a
+    minimal container: ``ULAW | sr_hz u32 | n u32 | codes u8[n]``."""
+    f = np.asarray(samples, dtype=np.float64) / 32768.0
+    y = np.sign(f) * np.log1p(_MU * np.abs(f)) / np.log1p(_MU)
+    codes = np.round((y + 1.0) / 2.0 * 255.0).astype(np.uint8)
+    return _ULAW_HDR.pack(_ULAW_MAGIC, sr_hz, len(codes)) + codes.tobytes()
+
+
+def decode_ulaw(payload: bytes) -> tuple[int, np.ndarray]:
+    """Expand mu-law codes back to int16 samples. Lossy by construction:
+    the round trip quantizes to 256 companded levels (~35-40 dB SNR)."""
+    if payload is None or len(payload) < _ULAW_HDR.size:
+        raise ValueError("payload too short for ULAW header")
+    magic, sr_hz, n = _ULAW_HDR.unpack_from(payload, 0)
+    if magic != _ULAW_MAGIC:
+        raise ValueError("not a ULAW payload")
+    body = payload[_ULAW_HDR.size:]
+    if len(body) < n:
+        raise ValueError("truncated ULAW data")
+    codes = np.frombuffer(body, dtype=np.uint8, count=n)
+    y = codes.astype(np.float64) / 255.0 * 2.0 - 1.0
+    f = np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU))) / _MU
+    return sr_hz, np.clip(np.round(f * 32768.0), -32768, 32767).astype(np.int16)
+
+
 def decode_flac_stub(payload: bytes) -> tuple[int, np.ndarray]:
     """STUB: no FLAC lib in the image; synthetic 'flac' payloads are RIFF.
 
@@ -94,6 +135,7 @@ def decode_opus_stub(payload: bytes) -> tuple[int, np.ndarray]:
 
 DECODERS = {
     "pcm_s16le": decode_wav_pcm16,
+    "ulaw": decode_ulaw,
     "flac": decode_flac_stub,
     "opus": decode_opus_stub,
 }

@@ -181,6 +181,14 @@ def audio_invariants(
 
     fp = src.mapInPandas(_decode_fingerprint, _FP_SCHEMA)
 
+    if ref is not None:
+        # Materialize the fingerprint frame ONCE (eager local checkpoint):
+        # it feeds three consumers (undecodable branch, hash join, residue
+        # semi-joins) whose lineage would otherwise each re-run the whole
+        # decode. Storage is O(keys) — ~60 B/row vs ~50 KB/row of input
+        # (0.1%), distributed across executors, never the driver.
+        fp = fp.localCheckpoint(eager=True)
+
     undecodable = _violation_rows(
         fp.where(~F.col("decode_ok")).select(F.col("clip_id").alias("asset_id")),
         "bytes",
@@ -203,11 +211,15 @@ def audio_invariants(
     # same layout, so hash equality <=> bit-identical audio <=> SNR=inf.
 
     # ---- stage 3: exact SNR only for the residue -------------------------
-    # No forced broadcast: on a lossless corpus the residue is ~empty and
-    # AQE converts the semi-joins to broadcast at runtime; with real lossy
-    # decoders the residue is ~every lossy row, and a forced broadcast
-    # would OOM the driver — plain left_semi lets AQE pick per-run.
-    cand = mismatched
+    # Stats-driven broadcast of the residue key set (cheap: computed from
+    # the checkpointed fingerprints, no second decode). Broadcast keeps
+    # the multi-TB payload sides UNSHUFFLED through the semi-joins — the
+    # whole point of the fingerprint screen (a shuffle semi-join would
+    # move every payload byte; measured +2x wall at 240k clips). With real
+    # lossy decoders the residue is ~every lossy row: then the estimate
+    # exceeds the broadcast limit and we fall back to a shuffle semi-join
+    # instead of OOMing the driver.
+    cand = choose_join_side(mismatched, est_row_bytes=48)
     cand_clips = clips.select(F.col(key).alias("clip_id"), "bytes", "codec").join(
         cand, on="clip_id", how="left_semi"
     )

@@ -161,7 +161,7 @@ def expr_rule(prop: str, error_key: str, condition: Column, **kw) -> Rule:
 # -- the default rule set for the clips table (north_rule A5 domains) --------
 
 def clips_base_rules(sr_domain=(8000, 16000, 22050, 44100),
-                     codec_whitelist=("pcm_s16le", "flac", "opus"),
+                     codec_whitelist=("pcm_s16le", "ulaw", "flac", "opus"),
                      dur_min: int = 1, dur_max: int = 60_000) -> list[Rule]:
     return [
         enum_rule("sr_hz", list(sr_domain)),

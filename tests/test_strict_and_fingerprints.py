@@ -52,3 +52,48 @@ def test_fingerprint_manifest_shape(spark):
     rows = fp.collect()
     assert {r["clip_id"] for r in rows} == {datagen.clip_id_of(i) for i in range(3)}
     assert all(len(r["ref_md5"]) == 32 for r in rows)
+
+
+def test_ulaw_lossy_residue_path(spark):
+    """REAL lossy codec through the residue: mu-law clips hash-mismatch
+    the reference PCM (lossy round trip), fall into the sample-level SNR
+    join, and PASS at ~38 dB >= 30 — the fingerprint screen's fallback
+    exercised with genuine (not fabricated) lossy data."""
+    pdf = datagen.clips_batch(np.arange(12), ulaw_every=3)  # 0,3,6,9 are ulaw
+    assert (pdf["codec"] == "ulaw").sum() == 4
+    clips = datagen.clips_df(spark, pdf)
+    ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(12)))
+    v = audio_invariants(clips, ref)
+    assert v.count() == 0  # lossy but >= threshold: clean
+
+
+def test_ulaw_below_threshold_fails_snr(spark):
+    """A mu-law clip whose source was corrupted before encoding lands
+    below 30 dB vs the reference -> snrBelowThreshold violation."""
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import encode_ulaw
+
+    pdf = datagen.clips_batch(np.arange(6), ulaw_every=3)
+    pcm = datagen.pcm_of(3)
+    rng = np.random.RandomState(7)
+    noisy = np.clip(
+        pcm.astype(np.int32) + rng.randint(-12000, 12000, size=pcm.shape),
+        -32768, 32767,
+    ).astype(np.int16)
+    pdf.loc[3, "bytes"] = encode_ulaw(noisy, datagen.sr_of(3))
+    clips = datagen.clips_df(spark, pdf)
+    ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(6)))
+    v = audio_invariants(clips, ref)
+    rows = v.collect()
+    assert {(r["asset_id"], r["error_key"]) for r in rows} == {
+        (datagen.clip_id_of(3), "snrBelowThreshold")
+    }
+
+
+def test_ulaw_strict_and_default_agree(spark):
+    """Audit mode and the screened path agree on a mixed lossy corpus."""
+    pdf = datagen.clips_batch(np.arange(10), ulaw_every=2)
+    clips = datagen.clips_df(spark, pdf)
+    ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(10)))
+    default = audio_invariants(clips, ref)
+    strict = audio_invariants(clips, ref, strict_snr=True)
+    assert default.count() == strict.count() == 0
