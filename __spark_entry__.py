@@ -365,6 +365,20 @@ def q_ann_topk(spark, sf):
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+def q_ivf_topk(spark, sf):
+    """IVF approximate top-k (coarse-quantizer scale path): 16 seeded unit
+    centroids, 4 probes, exact cosine re-rank. Fully oracle-checked —
+    the codebook is plan literals, so the oracle embeds the SAME centroid
+    constants with left-assoc sums (bit-exact assignment + probes)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, seed=7, dim=64
+    )
+
+
 def q_embedding_lsh_near_dups(spark, sf):
     """LSH-bucketed near-dup (scale path). Fully oracle-checked: the
     seed-42 hyperplanes are plan literals, so the oracle embeds the SAME
@@ -478,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "sessionize": q_sessionize,
@@ -623,6 +638,68 @@ def _embedding_lsh_sql(threshold: float = 0.3, n_planes: int = 9,
            round(list_dot_product(v_a, v_b) / (n_a * n_b), 6) AS cosine
     FROM cand
     WHERE round(list_dot_product(v_a, v_b) / (n_a * n_b), 6) >= {threshold}
+    """
+
+
+def _ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+                  seed: int = 7, dim: int = 64) -> str:
+    """DuckDB replica of similarity.ivf_topk over embeddings (queries =
+    vec_id<3): the seed-7 codebook is embedded as literals; each
+    centroid dot is an explicit left-assoc sum (Spark's aggregate fold
+    order), assignment = first index of the max (list_indexof), query
+    probes = row_number over (dot desc, centroid)."""
+    from tdr_draft_metadata_validator_spark.pipeline.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids, seed)
+    d_exprs = [
+        " + ".join(f"(v[{i + 1}] * {x!r})" for i, x in enumerate(c))
+        for c in cents
+    ]
+    ds_list = ",\n        ".join(d_exprs)
+    probe_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT id, v, nrm, {i} AS centroid, ds[{i + 1}] AS d FROM q"
+        for i in range(n_centroids)
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ),
+    a AS (
+      SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             list_value(
+        {ds_list}
+             ) AS ds
+      FROM e
+    ),
+    c AS (
+      SELECT id, v, nrm, ds,
+             CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INT) AS centroid
+      FROM a
+    ),
+    q AS (SELECT * FROM c WHERE CAST(id AS INT) < 3),
+    qp AS (
+      SELECT id AS query_id, v AS qv, nrm AS qn, centroid FROM (
+        SELECT id, v, nrm, centroid, d,
+               row_number() OVER (PARTITION BY id ORDER BY d DESC, centroid) AS rn
+        FROM (
+      {probe_rows}
+        )
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT qp.query_id, c.id AS neighbor_id,
+             round(list_dot_product(qp.qv, c.v) / (qp.qn * c.nrm), 6) AS cosine
+      FROM c JOIN qp ON c.centroid = qp.centroid
+      WHERE c.id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
     """
 
 
@@ -836,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_sql(4),
         "minhash_lsh_candidates": _minhash_lsh_sql(16, 4),
+        "ivf_topk": _ivf_topk_sql(5, 16, 4, 7, 64),
         "embedding_lsh_near_dups": _embedding_lsh_sql(0.3, 9, 3, 64, 42),
         "simhash": _simhash_sql(32),
         "protected_fields": """

@@ -11,10 +11,14 @@ Two tiers:
   100 TB path. Hyperplanes are seed-deterministic and shipped as plan
   literals (no closures, no broadcast variables needed at this size).
 
-An IVF variant (k-means coarse quantizer) would slot in the same shape:
-assign -> equi-join on centroid id -> exact re-rank; omitted because the
-LSH variant already demonstrates the bucketed-candidate pattern without
-an iterative training job.
+- ``ivf_topk`` — IVF-style coarse quantizer: seed-deterministic unit
+  centroids (no iterative training job — at 100 TB the centroids come
+  from an offline k-means over a sample; here they are random unit
+  vectors, which demonstrates the identical plan shape), corpus assigned
+  to its argmax-cosine centroid in ONE projection (no shuffle), queries
+  probe their top-``n_probe`` centroids, candidates meet in a
+  centroid-id equi-join, exact cosine re-ranks. Recall < 1 by
+  construction; n_probe trades recall for candidate volume.
 """
 
 from __future__ import annotations
@@ -129,6 +133,97 @@ def lsh_buckets(
         F.col(vec_col).alias("v"),
         F.explode(F.array(*chunks)).alias("c"),
     ).select("id", "v", F.col("c.band").alias("band"), F.col("c.bucket").alias("bucket"))
+
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm centroids (the coarse quantizer codebook).
+    Production swaps in offline-k-means centroids; the plan is identical."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_centroids, dim)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str | None = None,
+    q_vec_col: str | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: centroid assignment (one projection, argmax
+    of K dot products against codebook literals — JVM-side, no shuffle),
+    query-side top-``n_probe`` centroid probes (broadcast: queries are
+    few), candidate equi-join on centroid id, exact cosine re-rank,
+    per-query top-k window.
+
+    -> (query_id, neighbor_id, cosine, rank) — same shape as
+    :func:`brute_force_topk`, recall < 1 (only probed centroids are
+    searched). At scale the corpus scan is centroid-pruned: with
+    partitioning/bucketing by centroid the probe join touches
+    n_probe/n_centroids of the data.
+    """
+    if dim is None:
+        raise ValueError("dim is required (embedding dimensionality)")
+    q_id_col = q_id_col or id_col
+    q_vec_col = q_vec_col or vec_col
+    cents = ivf_centroids(dim, n_centroids, seed)
+    cent_lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
+
+    def dots_of(vcol):
+        return F.array(*[_dot(vcol, cl) for cl in cent_lits])
+
+    corpus = emb.select(
+        F.col(id_col).cast("string").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        dots_of(F.col(vec_col)).alias("__ds"),
+    ).select(
+        "neighbor_id", "cv", "cn",
+        # argmax = FIRST index of the max (ties: lowest centroid wins) —
+        # mirrored exactly by the oracle's list_indexof(list, max)
+        (F.array_position(F.col("__ds"), F.array_max(F.col("__ds"))) - 1)
+        .cast("int").alias("centroid"),
+    )
+
+    q = queries.select(
+        F.col(q_id_col).cast("string").alias("query_id"),
+        F.col(q_vec_col).alias("qv"),
+        _norm(F.col(q_vec_col)).alias("qn"),
+        dots_of(F.col(q_vec_col)).alias("__ds"),
+    )
+    qd = q.select(
+        "query_id", "qv", "qn", F.posexplode("__ds").alias("centroid", "__d")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("__d").desc(), F.col("centroid")
+    )
+    probes = (
+        qd.withColumn("__rn", F.row_number().over(wprobe))
+        .where(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qn", "centroid")
+    )
+
+    scored = corpus.join(F.broadcast(probes), on="centroid").where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def lsh_near_dups(

@@ -188,3 +188,24 @@ def test_jaccard_df_cap_prunes_hot_shingles(spark):
     j_hot = hot.collect()[0]["jaccard"]
     j_cold = cold.collect()[0]["jaccard"]
     assert j_cold <= j_hot
+
+
+def test_ivf_topk_shape_and_recall(spark, emb):
+    """IVF approximate top-k: correct shape, ranks contiguous, and at
+    n_probe = n_centroids (exhaustive probing) it EQUALS brute force —
+    the approximation is exactly the candidate restriction."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = e.where(F.col("vec_id") < 3)
+    approx = similarity.ivf_topk(e, queries, k=5, n_centroids=8, n_probe=2, dim=64)
+    rows = approx.collect()
+    for qid in ("0", "1", "2"):
+        ranks = sorted(r["rank"] for r in rows if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))  # contiguous from 1
+        assert len(ranks) <= 5
+
+    exhaustive = similarity.ivf_topk(e, queries, k=5, n_centroids=8, n_probe=8, dim=64)
+    brute = similarity.brute_force_topk(e, queries, k=5)
+    key = lambda df: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in df.collect()
+    )
+    assert key(exhaustive) == key(brute)
