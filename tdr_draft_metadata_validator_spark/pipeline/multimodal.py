@@ -6,22 +6,26 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages so payload bytes
 cross the JVM<->Python boundary once per batch, never per row.
 
 AUDIO is the real implementation in this repo (operators/audio.py uses
-functions/audio_codec). IMAGE/VIDEO decode is STUBBED — the container has
-no imaging libs — behind clearly-marked functions: the Spark-side
-plumbing (schema, batch shape, partitioning, UDF signatures) is real and
-tested; the stub "decode" produces a deterministic fake so tests can
-assert the full pipeline shape.
+functions/audio_codec). IMAGE decode is REAL for uncompressed formats —
+PPM (P6) and 24-bit BMP are parsed byte-for-byte in numpy
+(functions/image_codec.py), and resize/feature-extract operate on the
+actual pixels. PNG/JPEG decoding needs an imaging lib the container
+lacks; those payloads surface as decode_ok=False with a clear reason
+(PIL is picked up automatically when present). VIDEO remains a
+documented stub (pseudo-frame chunking) — the 1:N mapInPandas plumbing
+is the real contract a pyav/ffmpeg decoder drops into.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.image_codec import decode_image, encode_ppm, luminance_feature, resize_nearest
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
@@ -42,36 +46,20 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB decode: no PIL/opencv in this image. Deterministic fake —
-    the md5 of the payload seeds a small 'pixel' array, so downstream
-    stages (resize/feature) operate on real ndarray shapes. Replace with
-    ``PIL.Image.open(io.BytesIO(payload))`` in production."""
-    if payload is None or len(payload) == 0:
-        raise ValueError("empty payload")
-    digest = hashlib.md5(payload).digest()
-    rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
-    return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
-
-
-def _feature_of(img: np.ndarray, dim: int = 16) -> np.ndarray:
-    """Deterministic fake feature: channel-mean + downsampled grid,
-    padded/truncated to ``dim``. Shape contract matches a real embedding
-    extractor (array<float> of fixed dim)."""
-    flat = img.astype(np.float32).mean(axis=2).ravel()
-    out = np.resize(flat / 255.0, dim)
-    return out.astype(np.float32)
-
-
 def image_features(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
     feature_dim: int = 16,
 ) -> DataFrame:
-    """decode -> feature-extract, one Arrow pass. Undecodable payloads
-    yield decode_ok=False rows (never task failures) — same policy as the
-    audio decode gate."""
+    """decode -> feature-extract, one Arrow pass over REAL pixels (PPM/
+    BMP parsed in numpy; Rec.601 luminance mean-pooled to a
+    sqrt(feature_dim)^2 grid). Undecodable payloads yield decode_ok=False
+    rows (never task failures) — same policy as the audio decode gate.
+    """
+    grid = int(round(feature_dim ** 0.5))
+    if grid * grid != feature_dim:
+        raise ValueError("feature_dim must be a perfect square (grid feature)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,11 +67,11 @@ def image_features(
             for i in range(len(pdf)):
                 ids.append(str(pdf[id_col].iat[i]))
                 try:
-                    img = _fake_decode_image(pdf[payload_col].iat[i])
+                    img = decode_image(pdf[payload_col].iat[i])
                     ws.append(img.shape[1]); hs.append(img.shape[0])
-                    feats.append(_feature_of(img, feature_dim).tolist())
+                    feats.append(luminance_feature(img, grid).tolist())
                     oks.append(True)
-                except Exception:
+                except (ValueError, TypeError):
                     ws.append(None); hs.append(None); feats.append(None); oks.append(False)
             yield pd.DataFrame(
                 {"media_id": ids, "width": ws, "height": hs, "feature": feats, "decode_ok": oks}
@@ -92,6 +80,42 @@ def image_features(
     return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """decode -> nearest-neighbor resize -> re-encode (PPM), one Arrow
+    pass. Real pixel work end-to-end for PPM/BMP inputs; undecodable
+    payloads come back decode_ok=False with a null payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, oks = [], [], []
+            for i in range(len(pdf)):
+                ids.append(str(pdf[id_col].iat[i]))
+                try:
+                    img = decode_image(pdf[payload_col].iat[i])
+                    outs.append(encode_ppm(resize_nearest(img, width, height)))
+                    oks.append(True)
+                except (ValueError, TypeError):
+                    outs.append(None); oks.append(False)
+            yield pd.DataFrame({"media_id": ids, "payload": outs, "decode_ok": oks})
+
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, RESIZED_SCHEMA)
 
 
 def sample_frames(

@@ -84,6 +84,79 @@ def dedup_stream(clips_stream: DataFrame, key: str = "clip_id",
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id string, session_start double, session_end double, "
+    "n_events long, session_value double"
+)
+SESSION_STATE_SCHEMA = "start_ts double, last_ts double, n long, vsum double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    continuous sessionization with the same gap semantics as the batch
+    ``sessionize`` query (new session when the gap to the previous event
+    exceeds ``gap_s``).
+
+    Per key, state carries the OPEN session (start, last_ts, n, value
+    sum); events arriving in a batch are folded in event-time order; a
+    gap CLOSES the open session, which is emitted immediately (append
+    mode); the trailing session stays open in state across micro-batches.
+    This is the engine's template for stateful operators Spark lacks —
+    Arrow-batched per-group pandas, state is O(1) per key, no payloads.
+
+    -> (user_id, session_start, session_end, n_events, session_value)
+    with timestamps as epoch seconds (double).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col]).astype("int64") / 1e9
+            rows.extend(zip(ts.tolist(), pdf[value_col].astype(float).tolist()))
+        rows.sort()
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start = last = None
+            n, vsum = 0, 0.0
+        completed = []
+        for t, v in rows:
+            if last is not None and t - last > gap_s:
+                completed.append((key[0], start, last, n, vsum))
+                start, n, vsum = t, 0, 0.0
+            elif last is None:
+                start = t
+            last = t
+            n += 1
+            vsum += v
+        if last is not None:
+            state.update((start, last, n, vsum))
+        yield pd.DataFrame(
+            completed,
+            columns=["user_id", "session_start", "session_end", "n_events", "session_value"],
+        )
+
+    return (
+        events.select(F.col(key_col).cast("string").alias("user_id"),
+                      F.col(ts_col).alias(ts_col),
+                      F.col(value_col).alias(value_col))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str = "violations_out"):
     """Test harness: drain all available input synchronously."""
     q = (

@@ -82,3 +82,46 @@ def test_streaming_violation_rate_event_time(spark, tmp_path):
         q.stop()
     by_window = {str(r["ws"]): r["n_violations"] for r in rows}
     assert by_window == {"2026-01-01 10:00:00": 1, "2026-01-01 11:00:00": 1}
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: gaps close sessions (emitted
+    in append mode); the trailing open session stays in state."""
+    from pyspark.sql import functions as F
+
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "sess")
+    rows = [
+        # user A: 3 events tight, then a 2h gap, then 2 events (open)
+        ("A", "2026-01-01 10:00:00", 1.0),
+        ("A", "2026-01-01 10:05:00", 2.0),
+        ("A", "2026-01-01 10:10:00", 3.0),
+        ("A", "2026-01-01 12:30:00", 10.0),
+        ("A", "2026-01-01 12:40:00", 20.0),
+        # user B: one session only (stays open, nothing emitted)
+        ("B", "2026-01-01 09:00:00", 5.0),
+        ("B", "2026-01-01 09:10:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sess_out").start()
+    )
+    q.processAllAvailable()
+    try:
+        out = spark.sql("SELECT * FROM sess_out").collect()
+    finally:
+        q.stop()
+    assert len(out) == 1  # only A's first session closed
+    s = out[0]
+    assert s["user_id"] == "A"
+    assert s["n_events"] == 3
+    assert s["session_value"] == 6.0
+    assert s["session_end"] - s["session_start"] == 600.0
