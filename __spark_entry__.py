@@ -267,6 +267,33 @@ def q_drift_psi(spark, sf):
     ).agg(F.round(F.sum("t"), 6).alias("psi"))
 
 
+def q_drift_categorical(spark, sf):
+    """A6 categorical drift: PSI over event_type category fractions
+    between even/odd event_ids (deterministic ref/current split), plus
+    the max per-category gap. All DataFrame ops; scalars only leave."""
+    ev = _t(spark, sf, "events")
+    side = (F.col("event_id") % 2 == 0).alias("is_ref")
+    per = ev.where(F.col("event_type").isNotNull()).select(
+        F.col("event_type").alias("c"), side
+    ).groupBy("c", "is_ref").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("is_ref").agg(F.sum("n").alias("tot"))
+    frac = per.join(tot, "is_ref").select(
+        "c", "is_ref", (F.col("n") / F.col("tot")).alias("f")
+    )
+    ref = frac.where(F.col("is_ref")).select("c", F.col("f").alias("p"))
+    cur = frac.where(~F.col("is_ref")).select("c", F.col("f").alias("q"))
+    eps = 1e-6
+    joined = ref.join(cur, "c", "full_outer").select(
+        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+        F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log((F.col("p") + eps) / (F.col("q") + eps))
+    return joined.agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.round(F.max(F.abs(F.col("p") - F.col("q"))), 6).alias("max_gap"),
+    )
+
+
 def q_topk_per_group(spark, sf):
     """Window top-k: 3 priciest lineitems per returnflag."""
     li = _t(spark, sf, "lineitem")
@@ -346,6 +373,14 @@ def q_simhash(spark, sf):
     """32-bit SimHash fingerprints over tokens."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
     return dedup.simhash(docs, bits=32)
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-pairs: 4-chunk pigeonhole candidates + exact Hamming
+    filter — fully oracle-checked (bit_count(xor) replicated in SQL)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    out = dedup.simhash_near_pairs(docs, max_hamming=6, bits=32)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_embedding_near_dups(spark, sf):
@@ -481,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_metrics": q_partition_metrics,
         "histogram_bins": q_histogram_bins,
         "drift_psi": q_drift_psi,
+        "drift_categorical": q_drift_categorical,
         "topk_per_group": q_topk_per_group,
         "groupby_agg": q_groupby_agg,
         "dedup_exact": q_dedup_exact,
@@ -490,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -515,7 +552,9 @@ _DUP_MSG = (
 )
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_core(bits: int, limit: int) -> str:
+    """Shared CTE chain computing (id, simhash) — used by the plain
+    simhash oracle and the near-pairs oracle."""
     lane = _LANE.format(seed="'7'", x="g")
     bitsums = ",\n      ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -528,7 +567,7 @@ def _simhash_sql(bits: int = 32) -> str:
     return f"""
     WITH d AS (
       SELECT CAST(doc_id AS VARCHAR) AS id, {_NORM} AS t
-      FROM documents WHERE doc_id < 100
+      FROM documents WHERE doc_id < {limit}
     ),
     f AS (
       SELECT id, {lane} AS h
@@ -538,8 +577,37 @@ def _simhash_sql(bits: int = 32) -> str:
       SELECT id,
       {bitsums}
       FROM f GROUP BY id
+    ),
+    fp AS (SELECT id, {fp} AS simhash FROM b)
+    """
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    return _simhash_core(bits, 100) + "\n    SELECT id, simhash FROM fp\n"
+
+
+def _simhash_pairs_sql(bits: int = 32, max_hamming: int = 6, limit: int = 200) -> str:
+    """DuckDB replica of dedup.simhash_near_pairs: 4-way chunk pigeonhole
+    candidate generation (guaranteed complete for hamming <= 3; beyond
+    that both engines apply the SAME chunk-collision restriction, so
+    outputs still match exactly), then bit_count(xor) filter."""
+    chunk = bits // 4
+    mask = (1 << chunk) - 1
+    chunk_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT id, simhash, {i} AS ci, (simhash >> {i * chunk}) & {mask} AS cv FROM fp"
+        for i in range(4)
     )
-    SELECT id, {fp} AS simhash FROM b
+    return _simhash_core(bits, limit) + f""",
+    ch AS (
+      {chunk_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+             a.simhash AS s_a, c.simhash AS s_b
+      FROM ch a JOIN ch c ON a.ci = c.ci AND a.cv = c.cv AND a.id < c.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(s_a, s_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(s_a, s_b)) <= {max_hamming}
     """
 
 
@@ -818,6 +886,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(sum((p - q) * ln((p + 1e-6) / (q + 1e-6))), 6) AS psi
             FROM rc
         """,
+        "drift_categorical": """
+            WITH per AS (
+              SELECT event_type AS c, (event_id % 2 = 0) AS is_ref, count(*) AS n
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (SELECT is_ref, sum(n) AS tot FROM per GROUP BY 1),
+            frac AS (
+              SELECT per.c, per.is_ref, per.n / tot.tot::DOUBLE AS f
+              FROM per JOIN tot USING (is_ref)
+            ),
+            rc AS (
+              SELECT coalesce(r.p, 0.0) AS p, coalesce(q.q, 0.0) AS q
+              FROM (SELECT c, f AS p FROM frac WHERE is_ref) r
+              FULL OUTER JOIN (SELECT c, f AS q FROM frac WHERE NOT is_ref) q
+                ON r.c = q.c
+            )
+            SELECT round(sum((p - q) * ln((p + 1e-6) / (q + 1e-6))), 6) AS psi,
+                   round(max(abs(p - q)), 6) AS max_gap
+            FROM rc
+        """,
         "topk_per_group": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
             FROM (
@@ -916,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_sql(5, 16, 4, 7, 64),
         "embedding_lsh_near_dups": _embedding_lsh_sql(0.3, 9, 3, 64, 42),
         "simhash": _simhash_sql(32),
+        "simhash_pairs": _simhash_pairs_sql(32, 6, 200),
         "protected_fields": """
             WITH c AS (
               SELECT o_orderkey AS k, CAST(o_custkey AS INT) AS sr,

@@ -225,6 +225,38 @@ def drift_violations(
     return spark.createDataFrame(rows, VIOLATION_SCHEMA)
 
 
+def drift_check_categorical(
+    current: DataFrame,
+    reference: DataFrame,
+    column: str,
+    ref_column: str | None = None,
+) -> DriftReport:
+    """A6 for CATEGORICAL columns (codec, language, label): PSI over
+    per-category fractions; the KS slot carries the max per-category
+    fraction gap (total-variation-style). One groupBy per side over the
+    single column; O(categories) scalars on the driver.
+    """
+    ref_column = ref_column or column
+
+    def fractions(df, col):
+        rows = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).cast("string").alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in rows) or 1
+        return {r["c"]: r["n"] / total for r in rows}
+
+    p_map, q_map = fractions(reference, ref_column), fractions(current, column)
+    cats = sorted(set(p_map) | set(q_map))
+    p = [p_map.get(c, 0.0) for c in cats]
+    q = [q_map.get(c, 0.0) for c in cats]
+    gap = max((abs(pi - qi) for pi, qi in zip(p, q)), default=0.0)
+    return DriftReport(column=column, psi=psi(p, q), ks=gap,
+                       ref_distinct=len(p_map), cur_distinct=len(q_map))
+
+
 def drift_check(
     current: DataFrame,
     reference: DataFrame | None,

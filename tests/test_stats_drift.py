@@ -78,3 +78,20 @@ def test_drift_profile_roundtrips_through_parquet(spark, tmp_path):
     prof_df = spark.read.parquet(path)
     v = drift_violations(spark, cur, None, "cid-1", profile_df=prof_df)
     assert v.count() == 0  # same distribution, no breach, zero ref scans
+
+
+def test_drift_categorical(spark):
+    """Categorical PSI: identical category mix -> 0 drift; a codec swap
+    shows up in both psi and the max per-category gap."""
+    from tdr_draft_metadata_validator_spark.operators.stats import (
+        drift_check_categorical,
+    )
+
+    a = datagen.clips_df(spark, datagen.clips_batch(np.arange(0, 300)))
+    b = datagen.clips_df(spark, datagen.clips_batch(np.arange(300, 600)))
+    same = drift_check_categorical(b, a, "codec")
+    assert same.psi < 0.05 and same.ks < 0.1
+    shifted = datagen.clips_batch(np.arange(300, 600))
+    shifted["codec"] = "opus"  # collapse the mix to one category
+    rep = drift_check_categorical(datagen.clips_df(spark, shifted), a, "codec")
+    assert rep.psi > 0.2 and rep.ks > 0.2 and rep.breaches()
