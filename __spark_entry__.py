@@ -493,6 +493,26 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Interval join as a bucketed equi-join (never a nested-loop
+    inequality join): click events landing inside [signup, signup+1h]
+    windows per user."""
+    ev = _t(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("start"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    out = asof.range_join(left, right, on="ts", by="user_id", bucket_s=3600)
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("start").alias("window_start"),
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf):
     """MinHash LSH banding candidates. Fully oracle-checked: the md5
     signature lanes and the per-band md5-of-joined-lanes are both
@@ -534,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "rollup": q_rollup,
         "pivot": q_pivot,
     }
@@ -1103,6 +1124,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.event_id, round(r.value, 4) AS rate
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT l.event_id AS click_id,
+                   CAST(floor(epoch(r.start)) AS BIGINT) AS window_start
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            JOIN (SELECT user_id, ts AS start, ts + INTERVAL 1 HOUR AS "end"
+                  FROM events WHERE event_type = 'signup') r
+              ON l.user_id = r.user_id
+             AND l.ts BETWEEN r.start AND r."end"
         """,
         "sessionize": """
             WITH o AS (

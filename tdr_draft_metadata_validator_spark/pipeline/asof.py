@@ -72,3 +72,48 @@ def asof_join(
     return carried.where(F.col("__src") == 1).drop(
         "__src", *[f"__r_{c}" for c in value_cols]
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | list[str] | None = None,
+    bucket_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join — ``left[on] BETWEEN right[start] AND
+    right[end]`` — as a BUCKETED EQUI-JOIN, never an inequality join
+    (which Catalyst executes as a nested-loop/cartesian at scale).
+
+    Pattern: time is tiled into ``bucket_s``-second buckets. The left
+    side lands in exactly ONE bucket (``floor(epoch/on / bucket_s)``);
+    each right interval EXPLODES to the buckets it overlaps. The join is
+    a plain equi-join on (by..., bucket) + the exact BETWEEN filter —
+    and because the left row occupies a single bucket, every qualifying
+    pair meets exactly once: no distinct/dedup pass needed.
+
+    Cost model: right-side row fan-out = interval_length / bucket_s.
+    Pick ``bucket_s`` near the TYPICAL interval length so fan-out is
+    O(1-2); a pathological open-ended interval should be closed by the
+    caller before joining. Column names must be disjoint (``on`` vs
+    ``start_col``/``end_col``) — the BETWEEN filter needs all three in
+    scope after the join.
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    l_epoch = F.unix_timestamp(F.col(on).cast("timestamp"))
+    s_epoch = F.unix_timestamp(F.col(start_col).cast("timestamp"))
+    e_epoch = F.unix_timestamp(F.col(end_col).cast("timestamp"))
+    l2 = left.withColumn("__b", F.floor(l_epoch / bucket_s))
+    r2 = right.withColumn(
+        "__b",
+        F.explode(F.sequence(F.floor(s_epoch / bucket_s), F.floor(e_epoch / bucket_s))),
+    )
+    joined = l2.join(r2, on=by + ["__b"], how=how).where(
+        F.col(on).cast("timestamp").between(
+            F.col(start_col).cast("timestamp"), F.col(end_col).cast("timestamp")
+        )
+    )
+    return joined.drop("__b")

@@ -34,3 +34,41 @@ def test_asof_join_keeps_left_columns(spark):
     )
     row = asof_join(left, right).collect()[0]
     assert row["payload"] == "x" and row["value_asof"] == 5.0
+
+
+def test_range_join_exact_vs_inequality(spark):
+    """The bucketed equi-join must equal a naive inequality join for any
+    bucket width, with each qualifying pair emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    from tdr_draft_metadata_validator_spark.pipeline.asof import range_join
+
+    left = spark.createDataFrame(
+        [(i, "u1" if i % 2 else "u2", f"2026-01-01 10:{i:02d}:00") for i in range(30)],
+        "event_id int, user_id string, ts string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", "2026-01-01 10:05:00", "2026-01-01 10:11:00"),
+            ("u1", "2026-01-01 10:09:00", "2026-01-01 10:20:00"),  # overlapping
+            ("u2", "2026-01-01 10:00:00", "2026-01-01 10:02:00"),
+        ],
+        "user_id string, start string, end string",
+    )
+    for bucket_s in (60, 300, 3600):
+        got = {
+            (r["event_id"], r["start"])
+            for r in range_join(left, right, by="user_id", bucket_s=bucket_s).collect()
+        }
+        naive = {
+            (r["event_id"], r["start"])
+            for r in left.join(right, on="user_id").where(
+                F.col("ts").cast("timestamp").between(
+                    F.col("start").cast("timestamp"), F.col("end").cast("timestamp")
+                )
+            ).collect()
+        }
+        assert got == naive and len(got) > 0
+    # exactly-once: no dedup pass, counts must match the naive join too
+    n = range_join(left, right, by="user_id", bucket_s=60).count()
+    assert n == len(naive)
