@@ -360,6 +360,16 @@ def q_jaccard_pairs(spark, sf):
     return dedup.jaccard_pairs(docs, threshold=0.6, n=1)
 
 
+def q_near_dup_components(spark, sf):
+    """Near-dup clustering: connected components over the jaccard pair
+    graph (iterative min-label propagation; per-round localCheckpoint).
+    Oracle = DuckDB recursive-CTE transitive closure — a full value check
+    of an ITERATIVE distributed algorithm."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.6, n=1)
+    return dedup.near_dup_components(pairs).select("id", "component")
+
+
 def q_minhash_signatures(spark, sf):
     """MinHash signature lanes (md5-based, engine-portable)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -544,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "quality": q_quality,
         "jaccard_pairs": q_jaccard_pairs,
+        "near_dup_components": q_near_dup_components,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1019,6 +1030,38 @@ def oracle_sql() -> dict[str, str]:
                    round(common / (sz_a + sz_b - common)::DOUBLE, 6) AS jaccard
             FROM p
             WHERE round(common / (sz_a + sz_b - common)::DOUBLE, 6) >= 0.6
+        """,
+        "near_dup_components": f"""
+            WITH RECURSIVE d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_distinct(string_split({_NORM}, ' ')) AS toks
+              FROM documents WHERE doc_id < 150
+            ),
+            f AS (SELECT id, len(toks) AS sz, unnest(toks) AS g FROM d),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+                     count(*) AS common
+              FROM f a JOIN f b ON a.g = b.g AND a.id < b.id
+              GROUP BY a.id, b.id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM p
+              WHERE round(common / (sz_a + sz_b - common)::DOUBLE, 6) >= 0.6
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            v AS (SELECT DISTINCT a AS id FROM e),
+            reach(src, dst) AS (
+              SELECT id, id FROM v
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            )
+            SELECT src AS id, min(dst) AS component
+            FROM reach GROUP BY src
         """,
         "minhash_signatures": _minhash_sql(4),
         "minhash_lsh_candidates": _minhash_lsh_sql(16, 4),

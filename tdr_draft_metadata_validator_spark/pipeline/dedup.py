@@ -295,3 +295,86 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round(dot / (F.col("n_a") * F.col("n_b")), 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. near-dup clustering — connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: -> (id, component) where
+    component = MIN id reachable from the node (canonical representative).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one equi-join + one
+    groupBy per round); converges in <= graph-diameter rounds, checked
+    with a cheap count. Labels are localCheckpoint'ed per round — the
+    standard iterative-Spark guard against exponential plan growth. At
+    10^12-row scale one would switch to the large-star/small-star
+    alternation (Kiveris et al. 2014), which bounds rounds at
+    O(log^2 n); the propagation shape (join + min-agg) is identical.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("string").alias("a"),
+                     F.col(id_b).cast("string").alias("b"))
+        .unionByName(pairs.select(F.col(id_b).cast("string").alias("a"),
+                                  F.col(id_a).cast("string").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                labels["id"],
+                F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep ONE representative (the min id) per near-dup component plus
+    every doc that appears in no pair: the end-to-end near-dedup sweep
+    (pair generation is jaccard/minhash/simhash/embedding — any of the
+    candidate generators above feeds this)."""
+    comp = near_dup_components(pairs, id_a, id_b)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__loser")
+    )
+    return docs.join(
+        losers, docs[id_col].cast("string") == losers["__loser"], "left_anti"
+    )

@@ -257,3 +257,34 @@ def test_ivf_topk_shape_and_recall(spark, emb):
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in df.collect()
     )
     assert key(exhaustive) == key(brute)
+
+
+def test_near_dup_components_and_drop(spark):
+    """Connected components over candidate pairs: a chain a-b-c collapses
+    to one component even though (a,c) was never a pair; singletons and
+    untouched docs survive drop_near_duplicates."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    comp = {r["id"]: r["component"] for r in dedup.near_dup_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in ["a", "b", "c", "x", "y", "z"]],
+        "doc_id string, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()}
+    assert kept == {"a", "x", "z"}  # one rep per component + untouched z
+
+
+def test_near_dup_components_long_chain_converges(spark):
+    """Propagation needs diameter rounds: a 12-node path still converges
+    to a single min-labeled component."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    comp = {r["id"]: r["component"] for r in dedup.near_dup_components(pairs).collect()}
+    assert set(comp.values()) == {"n00"}
+    assert len(comp) == n
