@@ -370,6 +370,24 @@ def q_near_dup_components(spark, sf):
     return dedup.near_dup_components(pairs).select("id", "component")
 
 
+def q_contamination(spark, sf):
+    """Decontamination screen: eval docs (doc_id<100) whose token sets
+    are >=50% contained in a training doc (doc_id>=100) — asymmetric
+    containment, the eval-leakage test."""
+    docs = _t(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") >= 100)
+    ev = docs.where(F.col("doc_id") < 100)
+    return dedup.contamination(train, ev, threshold=0.5, n=1)
+
+
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test split by key hash (portable md5 lane
+    mod 10k buckets) — stable across runs/parallelism, never leaks a doc
+    between splits on re-runs."""
+    docs = _t(spark, sf, "documents")
+    return text.hash_split(docs).select("doc_id", "split")
+
+
 def q_minhash_signatures(spark, sf):
     """MinHash signature lanes (md5-based, engine-portable)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -555,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_components": q_near_dup_components,
+        "contamination": q_contamination,
+        "hash_split": q_hash_split,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1062,6 +1082,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, min(dst) AS component
             FROM reach GROUP BY src
+        """,
+        "contamination": f"""
+            WITH tr AS (
+              SELECT CAST(doc_id AS VARCHAR) AS train_id,
+                     unnest(list_distinct(string_split({_NORM}, ' '))) AS g
+              FROM documents WHERE doc_id >= 100
+            ),
+            ev0 AS (
+              SELECT CAST(doc_id AS VARCHAR) AS eval_id,
+                     list_distinct(string_split({_NORM}, ' ')) AS toks
+              FROM documents WHERE doc_id < 100
+            ),
+            ev AS (SELECT eval_id, len(toks) AS ev_sz, unnest(toks) AS g FROM ev0),
+            h AS (
+              SELECT eval_id, train_id, any_value(ev_sz) AS sz, count(*) AS shared
+              FROM ev JOIN tr USING (g) GROUP BY eval_id, train_id
+            )
+            SELECT eval_id, train_id, round(shared / sz::DOUBLE, 6) AS overlap
+            FROM h WHERE round(shared / sz::DOUBLE, 6) >= 0.5
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('13' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+              FROM documents
+            )
         """,
         "minhash_signatures": _minhash_sql(4),
         "minhash_lsh_candidates": _minhash_lsh_sql(16, 4),

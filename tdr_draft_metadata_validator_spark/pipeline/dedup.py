@@ -378,3 +378,58 @@ def drop_near_duplicates(
     return docs.join(
         losers, docs[id_col].cast("string") == losers["__loser"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. cross-corpus contamination (decontamination screen)
+# ---------------------------------------------------------------------------
+
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Decontamination screen: for each eval doc, training docs sharing
+    >= ``threshold`` of the EVAL doc's shingles (asymmetric containment —
+    the standard eval-leakage test, not symmetric Jaccard).
+
+    Same inverted-index shape as :func:`jaccard_pairs` (shuffle carries
+    shingle digests + ids, never text); ``df_cap`` prunes boilerplate
+    shingles by TRAIN-side document frequency before the join. At scale
+    the eval set is tiny and its exploded index broadcasts.
+
+    -> (eval_id, train_id, overlap) with overlap = |shared| / |eval
+    shingles|, rounded 6.
+    """
+    tr = train.select(
+        F.col(id_col).cast("string").alias("train_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    ).withColumn("g", F.md5("g"))
+    if df_cap is not None:
+        rare = (
+            tr.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= df_cap).select("g")
+        )
+        tr = tr.join(rare, on="g", how="left_semi")
+    ev_base = eval_docs.select(
+        F.col(id_col).cast("string").alias("eval_id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("ev_sz", F.size("sh"))
+    ev = ev_base.select("eval_id", "ev_sz", F.explode("sh").alias("g")).withColumn(
+        "g", F.md5("g")
+    )
+    hits = (
+        ev.join(tr, on="g")
+        .groupBy("eval_id", "train_id", "ev_sz")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    overlap = F.round(F.col("shared") / F.col("ev_sz"), 6)
+    return (
+        hits.withColumn("overlap", overlap)
+        .where(F.col("overlap") >= threshold)
+        .select("eval_id", "train_id", "overlap")
+    )

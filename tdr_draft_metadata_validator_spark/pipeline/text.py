@@ -121,3 +121,36 @@ def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         token_count(F.col(text_col)).alias("n_tokens"),
         detect_language(F.col(text_col)).alias("lang_detected"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 13,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the split is
+    a pure function of the key, so it is stable across runs, cluster
+    sizes, and table re-partitioning (the property random() splits lack),
+    and a doc can never leak between splits on re-runs.
+
+    Uses the portable md5 lane (same as the dedup signatures) so the
+    assignment is reproducible outside Spark too. -> docs + ``split``.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    lane = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}\x1f"), F.col(key_col).cast("string"))), 1, 8
+        ), 16, 10,
+    ).cast("long")
+    bucket = F.pmod(lane, F.lit(buckets))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return docs.withColumn("split", expr)

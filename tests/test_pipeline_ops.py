@@ -288,3 +288,36 @@ def test_near_dup_components_long_chain_converges(spark):
     comp = {r["id"]: r["component"] for r in dedup.near_dup_components(pairs).collect()}
     assert set(comp.values()) == {"n00"}
     assert len(comp) == n
+
+
+def test_contamination_asymmetric_containment(spark):
+    """Eval doc fully inside a train doc -> overlap 1.0 even though the
+    train doc is much bigger (asymmetric: denominator is the EVAL set)."""
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),       # 4/4 contained -> 1.0
+         (2, "alpha beta nu xi"),             # 2/4 -> 0.5
+         (3, "mu nu xi omicron")],            # 0 shared -> no row
+        "doc_id int, text string",
+    )
+    got = {(r["eval_id"], r["train_id"]): r["overlap"]
+           for r in dedup.contamination(train, ev, threshold=0.5, n=1).collect()}
+    assert got == {("1", "100"): 1.0, ("2", "100"): 0.5}
+
+
+def test_hash_split_deterministic_and_proportional(spark, docs):
+    out1 = {r["doc_id"]: r["split"] for r in text.hash_split(docs).collect()}
+    out2 = {r["doc_id"]: r["split"] for r in text.hash_split(docs).collect()}
+    assert out1 == out2  # pure function of the key
+    from collections import Counter
+    c = Counter(out1.values())
+    n = sum(c.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.8 <= c["train"] / n <= 0.97  # ~0.9 +- sampling noise at n=500
+    # repartitioning cannot move a doc between splits
+    out3 = {r["doc_id"]: r["split"]
+            for r in text.hash_split(docs.repartition(13)).collect()}
+    assert out3 == out1
