@@ -129,6 +129,7 @@ def validate(
     strict_snr: bool = False,
     with_drift: bool = False,
     drift_profile: DataFrame | None = None,
+    snapshot_id: int | None = None,
 ) -> ValidationResult:
     import os as _os
     import sys as _sys
@@ -215,6 +216,7 @@ def validate(
         # row-check + merge work, not plan-construction microseconds.
         metrics = partition_metrics(
             clips, merged, params, n_logical_partitions=n_logical_partitions, key=key,
+            snapshot_id=snapshot_id,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
         _mark("metrics plan built")

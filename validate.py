@@ -25,7 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--table", required=True, help="clips table path (parquet) or iceberg:<name>")
+    p.add_argument("--table", required=True,
+                   help="clips table: parquet path, iceberg:<name>, or "
+                        "snap:<root> (filesystem snapshot layer — pin with "
+                        "--snapshot-id, defaults to latest)")
     p.add_argument("--ref", help="reference table path")
     p.add_argument("--output", default="./validation-out")
     p.add_argument("--checkpoint", help="lineage manifest dir (enables resume)")
@@ -85,8 +88,16 @@ def main(argv=None):
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"validate-{args.run_id}")
 
+    snapshot_id = args.snapshot_id
     if args.table.startswith("iceberg:"):
         clips = read_iceberg(spark, args.table[len("iceberg:"):], args.snapshot_id)
+    elif args.table.startswith("snap:"):
+        from tdr_draft_metadata_validator_spark.sources.snapshots import read_snapshot
+
+        clips, snapshot_id = read_snapshot(
+            spark, args.table[len("snap:"):], args.snapshot_id
+        )
+        print(f"pinned to snapshot {snapshot_id}", file=sys.stderr)
     else:
         clips = read_clips(spark, args.table)
     ref = read_ref_clips(spark, args.ref) if args.ref else None
@@ -166,6 +177,7 @@ def main(argv=None):
             strict_snr=args.strict_snr,
             with_drift=args.drift,
             drift_profile=drift_profile,
+            snapshot_id=snapshot_id,
         )
         total_wall_ms += result.wall_ms
         if result.gate_error_file is not None:
