@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "topk_per_group", "dedup_exact", "fingerprint", "jaccard_pairs",
     "minhash_lsh_candidates", "simhash", "ann_topk",
     "protected_fields", "persist_unpivot", "embedding_lsh_near_dups",
+    "ivf_topk", "range_join", "near_dup_components", "hash_split",
 ]
 
 

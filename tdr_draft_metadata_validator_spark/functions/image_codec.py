@@ -141,7 +141,12 @@ def decode_image(payload: bytes) -> np.ndarray:
             from PIL import Image  # not in this container; real deployments have it
         except ImportError:
             raise ValueError("png/jpeg decode needs an imaging lib (not in this environment)") from None
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        try:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except Exception as exc:  # UnidentifiedImageError/OSError etc.
+            # translate to the decode-gate contract: corrupt payloads are
+            # ValueError -> decode_ok=False rows, NEVER task failures
+            raise ValueError(f"png/jpeg decode failed: {exc}") from None
     raise ValueError("unrecognized image payload")
 
 

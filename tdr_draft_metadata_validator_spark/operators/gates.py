@@ -166,10 +166,16 @@ def utf8_file_gate(spark, path: str, consignment_id: str) -> GateFailure | None:
     EF BB BF decodes to U+FEFF, a valid code point, so strict decoding
     accepts BOM'd files exactly like the reference's Utf8Validator).
 
-    Spark-first: ``binaryFile`` source (one row per file — scales to a
-    directory of CSV shards) -> Arrow-batched ``mapInPandas`` strict
-    decode. Only a per-file boolean leaves the executors. Failure shape
-    mirrors not-utf8-error.json (FILE_CHECK / UTF8 / FileError.UTF_8).
+    Spark-first for the common case: ``binaryFile`` source (one row per
+    file — scales to a directory of CSV shards) -> Arrow-batched
+    ``mapInPandas`` strict decode; only a per-file boolean leaves the
+    executors. ``binaryFile`` materializes a whole file as one cell and
+    hard-caps at 2 GB, so files above ``_STREAM_THRESHOLD`` instead go
+    through an INCREMENTAL single-pass decoder (constant memory,
+    multi-byte sequences handled across chunk boundaries via Hadoop-FS
+    streams — works for any Spark-reachable filesystem; the reference's
+    Utf8Validator is the same single-stream pass). Failure shape mirrors
+    not-utf8-error.json (FILE_CHECK / UTF8 / FileError.UTF_8).
     """
     from collections.abc import Iterator
 
@@ -187,12 +193,50 @@ def utf8_file_gate(spark, path: str, consignment_id: str) -> GateFailure | None:
                     ok.append(False)
             yield pd.DataFrame({"path": pdf["path"], "valid": ok})
 
-    schema = T.StructType([
-        T.StructField("path", T.StringType(), False),
-        T.StructField("valid", T.BooleanType(), False),
-    ])
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    bad = files.mapInPandas(_check, schema).where(~F.col("valid")).limit(1).count()
+    _STREAM_THRESHOLD = 1 << 30  # 1 GB: stream instead of one Arrow cell
+
+    def _stream_valid(fs, hp) -> bool:
+        import codecs
+
+        dec = codecs.getincrementaldecoder("utf-8")()
+        stream = fs.open(hp)  # FSDataInputStream -> java InputStream
+        try:
+            while True:
+                data = bytes(stream.readNBytes(8 << 20))
+                if not data:
+                    dec.decode(b"", final=True)
+                    return True
+                try:
+                    dec.decode(data)
+                except UnicodeDecodeError:
+                    return False
+        finally:
+            stream.close()
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path)) or []
+    big = [s.getPath() for s in statuses if s.isFile() and s.getLen() > _STREAM_THRESHOLD]
+    for hp in big:
+        if not _stream_valid(fs, hp):
+            break
+    else:
+        big = None  # all big files valid (or none existed)
+    if big is None:
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*")
+            .load(path)
+            .where(F.col("length") <= _STREAM_THRESHOLD)
+            .select("path", "content")
+        )
+        schema = T.StructType([
+            T.StructField("path", T.StringType(), False),
+            T.StructField("valid", T.BooleanType(), False),
+        ])
+        bad = files.mapInPandas(_check, schema).where(~F.col("valid")).limit(1).count()
+    else:
+        bad = 1  # a big file failed the streaming pass
     if not bad:
         return None
     err = Error("FILE_CHECK", consignment_id, "UTF8",

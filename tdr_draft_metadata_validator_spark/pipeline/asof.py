@@ -101,7 +101,17 @@ def range_join(
     caller before joining. Column names must be disjoint (``on`` vs
     ``start_col``/``end_col``) — the BETWEEN filter needs all three in
     scope after the join.
+
+    Only ``how='inner'`` is supported: the BETWEEN filter runs AFTER the
+    join, so an outer join would silently collapse back to inner
+    semantics (null start/end rows fail the filter) — we refuse rather
+    than lie.
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only (the post-join BETWEEN "
+            "filter would silently drop an outer join's unmatched rows)"
+        )
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     l_epoch = F.unix_timestamp(F.col(on).cast("timestamp"))
     s_epoch = F.unix_timestamp(F.col(start_col).cast("timestamp"))

@@ -24,6 +24,20 @@ def _md5_lane(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
+def _prune_hot_shingles(flat: DataFrame, df_cap: int, g_col: str = "g") -> DataFrame:
+    """Document-frequency guard shared by jaccard_pairs/contamination:
+    drop shingle digests appearing in more than ``df_cap`` rows BEFORE
+    any self/cross join (one groupBy over the exploded digests; the
+    rare-shingle side is tiny and AQE broadcast-joins the semi)."""
+    rare = (
+        flat.groupBy(g_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= df_cap)
+        .select(g_col)
+    )
+    return flat.join(rare, on=g_col, how="left_semi")
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -111,15 +125,7 @@ def jaccard_pairs(
         "g", F.md5("g")
     )
     if df_cap is not None:
-        rare = (
-            flat.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= df_cap)
-            .select("g")
-        )
-        # inner equi-join on the digest; the rare-shingle side is a tiny
-        # projection and AQE broadcast-joins it when it fits
-        flat = flat.join(rare, on="g", how="left_semi")
+        flat = _prune_hot_shingles(flat, df_cap)
     a = flat.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g")
     b = flat.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g")
     pairs = (
@@ -357,6 +363,15 @@ def near_dup_components(
         labels = new_labels
         if not changed:
             break
+    else:
+        # silent non-convergence would hand back WRONG components (and
+        # drop_near_duplicates would keep phantom representatives) —
+        # refuse instead; callers raise max_iter or switch to the
+        # large-star/small-star variant for log^2-round convergence
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 
@@ -410,11 +425,7 @@ def contamination(
         F.explode(shingles(F.col(text_col), n)).alias("g"),
     ).withColumn("g", F.md5("g"))
     if df_cap is not None:
-        rare = (
-            tr.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= df_cap).select("g")
-        )
-        tr = tr.join(rare, on="g", how="left_semi")
+        tr = _prune_hot_shingles(tr, df_cap)
     ev_base = eval_docs.select(
         F.col(id_col).cast("string").alias("eval_id"),
         shingles(F.col(text_col), n).alias("sh"),

@@ -135,7 +135,12 @@ def sessionize_stream(
                 start, n, vsum = t, 0, 0.0
             elif last is None:
                 start = t
-            last = t
+            # cross-batch late arrivals (t < last) fold INTO the open
+            # session without rewinding its frontier — `last` only moves
+            # forward, `start` only backward, so a later batch's gap check
+            # compares against the true session end, not a stale late event
+            last = t if last is None else max(last, t)
+            start = t if start is None else min(start, t)
             n += 1
             vsum += v
         if last is not None:

@@ -99,3 +99,58 @@ def test_cli_sub_runs_incremental_lineage(spark, small_tables, tmp_path, capsys)
     assert spark.read.json(f"{out}/violations").count() == 1
     with open(f"{out}/error-file.json") as fh:
         assert '"fileError" : "SCHEMA_VALIDATION"' in fh.read()
+
+
+def test_cli_drift_chunked_does_not_clobber_violations(spark, tmp_path, capsys):
+    """Run-level drift rows must NOT enter the partition-keyed violations
+    dataset: with --drift --sub-runs, per-asset violations survive every
+    chunk's dynamic-overwrite write, and drift lands in its own
+    run-level sink + the final verdict."""
+    from tdr_draft_metadata_validator_spark.operators.stats import build_ref_profile
+
+    clips = str(tmp_path / "clips.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    profile = str(tmp_path / "profile")
+    pdf = datagen.clips_batch(np.arange(40))
+    pdf["dur_ms"] = pdf["dur_ms"] * 3 + 5000   # drift vs the SNAPSHOT PROFILE
+    pdf.loc[7, "sr_hz"] = 12345                # one per-asset violation
+    datagen.clips_df(spark, pdf).write.parquet(clips)
+    # reference matches the drifted intrinsics except clip 7's sr_hz, so
+    # protected-field checks flag ONLY clip 7 — drift must come from the
+    # profile (built on the ORIGINAL distribution), not from row checks
+    rpdf = datagen.ref_batch(np.arange(40))
+    rpdf["ref_dur_ms"] = pdf["dur_ms"].values
+    rpdf["ref_sr_hz"] = [datagen.sr_of(i) for i in range(40)]
+    datagen.ref_df(spark, rpdf).write.parquet(ref)
+    orig_ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(40)))
+    build_ref_profile(spark, orig_ref).write.parquet(profile)
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "--table", clips, "--ref", ref, "--output", out,
+        "--checkpoint", str(tmp_path / "ckpt"), "--run-id", "rdrift",
+        "--partitions", "8", "--sub-runs", "4", "--no-audio", "--drift",
+        "--drift-profile", profile,
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and report["status"] == "failure"
+    # the per-asset violation survived all 4 chunk writes
+    viol = spark.read.json(f"{out}/violations")
+    asset_ids = {r["asset_id"] for r in viol.select("asset_id").collect()}
+    assert datagen.clip_id_of(7) in asset_ids
+    # drift is in the run-level sink, not the partitioned dataset
+    assert not any(
+        r["asset_id"] == "00000000-0000-0000-0000-000000000000"
+        for r in viol.select("asset_id").collect()
+    )
+    run_level = spark.read.json(f"{out}/violations-run-level")
+    keys = {e["error_key"] for r in run_level.collect() for e in r["errors"]}
+    assert "distributionDrift" in keys
+    # lineage has no phantom failed partition from the drift row: exactly
+    # the partition carrying clip 7 is pass=false
+    m = spark.read.parquet(f"{tmp_path}/ckpt/lineage")
+    failed = [r["partition_id"] for r in m.where("pass = false").collect()]
+    assert len(failed) == 1
+    # error-file document still carries BOTH the asset and the drift row
+    with open(f"{out}/error-file.json") as fh:
+        doc = fh.read()
+    assert "distributionDrift" in doc and datagen.clip_id_of(7) in doc

@@ -125,3 +125,51 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert s["n_events"] == 3
     assert s["session_value"] == 6.0
     assert s["session_end"] - s["session_start"] == 600.0
+
+
+def test_streaming_sessionize_late_event_does_not_rewind(spark, tmp_path):
+    """A cross-batch late arrival folds into the open session without
+    rewinding its frontier: the next on-time event must NOT see a
+    phantom gap measured from the late event."""
+    from pyspark.sql import functions as F
+
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "late")
+    schema = "user_id string, ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [("A", "2026-01-01 10:00:00", 1.0), ("A", "2026-01-01 10:20:00", 1.0)],
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch2 = spark.createDataFrame(
+        [("A", "2026-01-01 10:01:00", 1.0)],   # late: before the frontier
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch3 = spark.createDataFrame(
+        [("A", "2026-01-01 10:40:00", 1.0)],   # 20 min after TRUE frontier
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    batch1.coalesce(1).write.parquet(src)  # source dir must exist first
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("late_out").start()
+    )
+    q.processAllAvailable()
+    for b in (batch2, batch3):
+        b.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    try:
+        rows = spark.sql("SELECT * FROM late_out").collect()
+    finally:
+        q.stop()
+    # 10:40 is 20 min after the 10:20 frontier -> same session, NOTHING
+    # closed; a rewound frontier (10:01) would have falsely split here
+    assert rows == []

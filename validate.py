@@ -142,6 +142,21 @@ def main(argv=None):
                   f"{args.drift_profile!r}: {exc}", file=sys.stderr)
             return 2
 
+    # ---- drift: ONCE per run, over the whole work list, kept OUT of the
+    # per-partition violations dataset. Drift rows carry asset_id =
+    # consignment_id — a run-level fact, not a data-partition fact: mixing
+    # them into the partition-keyed sink would make every chunk rewrite
+    # the consignment's hash partition (clobbering real asset rows under
+    # dynamic overwrite) and attribute phantom violations to one
+    # arbitrary data partition in the lineage manifest.
+    drift_rows = None
+    if args.drift and (ref is not None or drift_profile is not None):
+        from tdr_draft_metadata_validator_spark.operators.stats import drift_violations
+
+        drift_rows = drift_violations(
+            spark, clips, ref, args.consignment_id, profile_df=drift_profile
+        )
+
     # ---- sub-run chunking: lineage + violations recorded PER CHUNK -------
     # (a crash loses at most the in-flight chunk; --resume re-enters here
     # with the recorded chunks' partitions excluded from the work list)
@@ -175,8 +190,7 @@ def main(argv=None):
             n_logical_partitions=args.partitions,
             ref_fingerprints=fp,
             strict_snr=args.strict_snr,
-            with_drift=args.drift,
-            drift_profile=drift_profile,
+            with_drift=False,  # drift runs once per run, above the chunk loop
             snapshot_id=snapshot_id,
         )
         total_wall_ms += result.wall_ms
@@ -225,11 +239,33 @@ def main(argv=None):
     if overall_error == FileError.NONE and manifest_failed:
         overall_error = FileError.SCHEMA_VALIDATION
 
+    # run-level drift verdict: folded into the exit code + the single
+    # document, written to its own (non-partitioned) run-level sink —
+    # never into the partition-keyed violations dataset
+    drift_merged = None
+    if drift_rows is not None:
+        from tdr_draft_metadata_validator_spark.operators.merge import merge_violations
+
+        drift_merged = merge_violations(drift_rows, key_name="consignment_id")
+        if not drift_merged.isEmpty():
+            drift_merged.coalesce(1).write.mode("overwrite").json(
+                os.path.join(args.output, "violations-run-level")
+            )
+            if overall_error == FileError.NONE:
+                overall_error = FileError.SCHEMA_VALIDATION
+        else:
+            drift_merged = None
+
     merged_all = None
     if mergeds:
         merged_all = mergeds[0]
         for m in mergeds[1:]:
             merged_all = merged_all.unionByName(m)
+    if drift_merged is not None:
+        merged_all = (
+            drift_merged if merged_all is None
+            else merged_all.unionByName(drift_merged)
+        )
 
     # single-document verdict (always written — Lambda.scala:81 semantics);
     # guarded for scale: only assembled when the violation count is sane
@@ -266,6 +302,8 @@ def main(argv=None):
         "wall_ms": total_wall_ms,
         "engine_version": engine_version,
     }))
+    for m in mergeds:
+        m.unpersist()  # engine persists each chunk's merge; done with all
     if not preexisting:
         spark.stop()
     return 0 if passed else 1
