@@ -145,7 +145,15 @@ def invalid_csv_gate(df: DataFrame, consignment_id: str) -> GateFailure | None:
         return None
     from pyspark.sql import functions as F
 
-    n_bad = df.where(F.col("_corrupt_record").isNotNull()).limit(1).count()
+    # Spark refuses to query the internal corrupt-record column straight
+    # off the file scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN); the documented pattern is to cache the parsed frame first —
+    # which also means the file parses ONCE for both the gate and the
+    # downstream checks.
+    cached = df.cache()
+    n_bad = cached.where(F.col("_corrupt_record").isNotNull()).limit(1).count()
+    if not n_bad:
+        cached.unpersist()
     if not n_bad:
         return None
     err = Error("FILE_CHECK", consignment_id, "INVALID_CSV",
@@ -203,10 +211,12 @@ def utf8_file_gate(spark, path: str, consignment_id: str) -> GateFailure | None:
         try:
             while True:
                 data = bytes(stream.readNBytes(8 << 20))
-                if not data:
-                    dec.decode(b"", final=True)
-                    return True
                 try:
+                    if not data:
+                        # final flush: a file truncated mid-multibyte
+                        # sequence fails HERE, as invalid, not as a crash
+                        dec.decode(b"", final=True)
+                        return True
                     dec.decode(data)
                 except UnicodeDecodeError:
                     return False
@@ -215,8 +225,23 @@ def utf8_file_gate(spark, path: str, consignment_id: str) -> GateFailure | None:
 
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
-    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path)) or []
-    big = [s.getPath() for s in statuses if s.isFile() and s.getLen() > _STREAM_THRESHOLD]
+
+    def _files_of(p):
+        """Expand a path/glob to its files (one directory level — the
+        shard-directory layout); globStatus(dir) returns the DIR entry,
+        not children, so directories are listed explicitly."""
+        out = []
+        for s in (fs.globStatus(jvm.org.apache.hadoop.fs.Path(p)) or []):
+            if s.isFile():
+                out.append(s)
+            elif s.isDirectory():
+                for child in fs.listStatus(s.getPath()):
+                    if child.isFile():
+                        out.append(child)
+        return out
+
+    statuses = _files_of(path)
+    big = [s.getPath() for s in statuses if s.getLen() > _STREAM_THRESHOLD]
     for hp in big:
         if not _stream_valid(fs, hp):
             break

@@ -104,5 +104,5 @@ def write_batched(
     partitions so each output file holds ~rows_per_batch rows, then write
     once — executors write in parallel (the Semaphore(10) analog is the
     cluster's task slots)."""
-    n = max(1, int(long_df.count() / rows_per_batch) or 1)
+    n = max(1, -(-long_df.count() // rows_per_batch))  # ceil: files never ~2x the batch size
     long_df.repartition(n).write.mode(mode).parquet(path)

@@ -184,7 +184,7 @@ def drift_violations(
     current: DataFrame,
     reference: DataFrame | None,
     consignment_id: str,
-    columns: tuple[tuple[str, str], ...] = (("dur_ms", "ref_dur_ms"), ("sr_hz", "ref_sr_hz")),
+    columns: tuple[tuple[str, str], ...] | None = None,
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.2,
     profile_df: DataFrame | None = None,
@@ -204,6 +204,15 @@ def drift_violations(
     from ..models import PROCESS_DRIFT, VIOLATION_SCHEMA
 
     profiles = load_profiles(profile_df) if profile_df is not None else {}
+    if columns is None:
+        # default to the profile's own column set when one is given (a
+        # profile missing a hardcoded column would otherwise raise
+        # mid-validation); without a profile, the engine defaults
+        columns = (
+            tuple((c, c) for c in sorted(profiles))
+            if profiles
+            else (("dur_ms", "ref_dur_ms"), ("sr_hz", "ref_sr_hz"))
+        )
     rows = []
     for col, ref_col in columns:
         rep = drift_check(current, reference, col, ref_col,

@@ -41,16 +41,27 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in by and c != on
     ]
+    # the carried payload is a STRUCT of the value columns, not the bare
+    # columns: the struct is non-null for EVERY right row (even when its
+    # fields are null), so last(ignorenulls) carries the genuinely latest
+    # right row — a newest row with a NULL value correctly supersedes an
+    # older non-null one instead of being skipped
+    r_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        null_struct.alias("__r"),
     )
     r_tag = right.select(
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias("__src"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        r_struct.alias("__r"),
     )
     for c in left.columns:
         if c not in r_tag.columns:
@@ -63,14 +74,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__carried")
     )
-    return carried.where(F.col("__src") == 1).drop(
-        "__src", *[f"__r_{c}" for c in value_cols]
+    return (
+        carried.where(F.col("__src") == 1)
+        .select(
+            "*",
+            *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        )
+        .drop("__src", "__r", "__carried")
     )
 
 

@@ -129,6 +129,7 @@ def validate(
     strict_snr: bool = False,
     with_drift: bool = False,
     drift_profile: DataFrame | None = None,
+    drift_columns: tuple[tuple[str, str], ...] | None = None,
     snapshot_id: int | None = None,
 ) -> ValidationResult:
     import os as _os
@@ -199,7 +200,8 @@ def validate(
         from ..operators.stats import drift_violations
 
         checks.append(
-            drift_violations(spark, clips, ref, cid, profile_df=drift_profile)
+            drift_violations(spark, clips, ref, cid, columns=drift_columns,
+                             profile_df=drift_profile)
         )
 
     violations = union_checks(checks)
@@ -214,8 +216,13 @@ def validate(
         # wall_ms here is REAL: the merge above already materialized
         # (merged.count()), so elapsed-since-t0 covers the actual decode +
         # row-check + merge work, not plan-construction microseconds.
+        # RUN-LEVEL violation rows (asset_id = consignment id, e.g. drift)
+        # are excluded from lineage attribution — hashing them onto an
+        # arbitrary data partition would mark that partition failed and
+        # make resume re-validate innocent clips forever.
         metrics = partition_metrics(
-            clips, merged, params, n_logical_partitions=n_logical_partitions, key=key,
+            clips, merged.where(F.col("asset_id") != F.lit(cid)), params,
+            n_logical_partitions=n_logical_partitions, key=key,
             snapshot_id=snapshot_id,
             wall_ms=int((time.monotonic() - t0) * 1000),
         )

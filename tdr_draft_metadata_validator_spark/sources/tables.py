@@ -31,11 +31,16 @@ def raw_csv_headers(spark: SparkSession, path: str) -> list[str]:
 
     Spark renames duplicate CSV headers on read, so the duplicate-header
     gate (G2) must see the RAW first line; one-row text read, no scan.
+    Parsed with RFC-4180 quoting rules (a naive split breaks quoted
+    headers containing commas and diverges from what Spark's CSV parser
+    sees).
     """
+    import csv as _csv
+
     first = spark.read.text(path).limit(1).collect()
     if not first:
         return []
-    return [h.strip() for h in first[0][0].split(",")]
+    return [h.strip() for h in next(_csv.reader([first[0][0]]))]
 
 
 def load_clips_csv(
@@ -55,22 +60,44 @@ def load_clips_csv(
       (inputToPropertyMapper, CSVHandler.scala:26-31). Unmapped headers
       are DROPPED (G6; CSVHandler.scala:40 collects only non-empty
       mappings); mapped ones are renamed (G7).
-    - PERMISSIVE mode + ``_corrupt_record`` gives the INVALID_CSV gate
-      (Lambda.scala:283-305) a hook: callers check ``corrupt_count``.
+    - INVALID_CSV gate (Lambda.scala:283-305): the read uses an EXPLICIT
+      all-string schema + a ``_corrupt_record`` field (PERMISSIVE routing
+      only works with the corrupt column IN the schema — with inferred
+      schemas Spark never materializes it and malformed rows silently
+      null-fill). With ``consignment_id`` set the gate runs here and
+      raises :class:`GateTripped`; otherwise the ``_corrupt_record``
+      column is left on the frame for the caller's own gate check.
     """
     if consignment_id is not None:
-        from ..operators.gates import GateTripped, utf8_file_gate
+        from ..operators.gates import GateTripped, invalid_csv_gate, utf8_file_gate
 
         failure = utf8_file_gate(spark, path, consignment_id)
         if failure is not None:
             raise GateTripped(failure)
     headers = raw_csv_headers(spark, path)
+    from pyspark.sql import types as T
+
+    # schema field names must be unique for the read; duplicated raw
+    # headers (G2's job, checked against raw_csv_headers) get suffixed
+    seen: dict[str, int] = {}
+    fields = []
+    for h in headers:
+        n = seen.get(h, 0)
+        seen[h] = n + 1
+        fields.append(T.StructField(h if n == 0 else f"{h}__dup{n}", T.StringType(), True))
+    fields.append(T.StructField("_corrupt_record", T.StringType(), True))
     df = (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(T.StructType(fields))
         .csv(path)
     )
+    if consignment_id is not None:
+        failure = invalid_csv_gate(df, consignment_id)
+        if failure is not None:
+            raise GateTripped(failure)
+        df = df.drop("_corrupt_record")
     if header_mapping:
         keep = {c: header_mapping[c] for c in df.columns if header_mapping.get(c)}
         df = df.select(*[F.col(c).alias(p) for c, p in keep.items()])

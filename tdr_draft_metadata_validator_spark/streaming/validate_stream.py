@@ -73,13 +73,20 @@ def violation_rate_stream(
 def dedup_stream(clips_stream: DataFrame, key: str = "clip_id",
                  watermark: str = "10 minutes") -> DataFrame:
     """Streaming uniqueness (A1's streaming face): state-backed
-    drop-duplicates on the key within the watermark horizon. Late
-    duplicates beyond the watermark age out of state — the batch engine's
-    salted global agg is the exact variant; this is the continuous one."""
+    drop-duplicates on the key within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` — plain ``dropDuplicates([key])``
+    under a watermark NEVER evicts state (the event-time column is not in
+    the dedup subset), so keys accumulate until executor OOM on a
+    long-running stream. With the *WithinWatermark* variant a key's state
+    ages out once the watermark passes it: bounded state, and duplicates
+    arriving within the horizon are still dropped. The batch engine's
+    salted global agg is the exact variant; this is the continuous one.
+    """
     return (
         clips_stream.withColumn("__ts", F.current_timestamp())
         .withWatermark("__ts", watermark)
-        .dropDuplicates([key])
+        .dropDuplicatesWithinWatermark([key])
         .drop("__ts")
     )
 
@@ -120,7 +127,12 @@ def sessionize_stream(
     def fn(key, pdfs, state):
         rows = []
         for pdf in pdfs:
-            ts = pd.to_datetime(pdf[ts_col]).astype("int64") / 1e9
+            if pd.api.types.is_numeric_dtype(pdf[ts_col]):
+                # already epoch seconds — pd.to_datetime would read a raw
+                # float as NANOseconds and collapse every gap to ~0
+                ts = pdf[ts_col].astype(float)
+            else:
+                ts = pd.to_datetime(pdf[ts_col]).astype("int64") / 1e9
             rows.extend(zip(ts.tolist(), pdf[value_col].astype(float).tolist()))
         rows.sort()
         if state.exists:

@@ -72,3 +72,20 @@ def test_range_join_exact_vs_inequality(spark):
     # exactly-once: no dedup pass, counts must match the naive join too
     n = range_join(left, right, by="user_id", bucket_s=60).count()
     assert n == len(naive)
+
+
+def test_asof_join_null_value_supersedes(spark):
+    """The newest right row wins even when its value is NULL — carrying
+    the bare value column would skip it and resurrect a superseded one."""
+    left = spark.createDataFrame(
+        [(1, "u", "2026-01-01 10:00:03")], "event_id int, user_id string, ts string"
+    )
+    right = spark.createDataFrame(
+        [("u", "2026-01-01 10:00:01", 5.0), ("u", "2026-01-01 10:00:02", None)],
+        "user_id string, ts string, value double",
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.asof import asof_join
+
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["value"]).collect()
+    assert len(out) == 1
+    assert out[0]["value_asof"] is None  # ts=2 row (null) supersedes ts=1 (5.0)

@@ -127,3 +127,25 @@ def test_utf8_gate_through_engine_verdict(spark, tmp_path):
     assert doc["fileError"] == "UTF_8"
     assert doc["validationErrors"][0]["assetId"] == CID
     assert doc["validationErrors"][0]["errors"][0]["message"] == "FILE_CHECK.UTF.INVALID"
+
+
+def test_invalid_csv_gate_fires_on_malformed_rows(spark, tmp_path):
+    """INVALID_CSV (Lambda.scala:283-305): a structurally broken row
+    (unclosed quote swallowing the rest of the file) must trip the gate —
+    requires the explicit schema carrying _corrupt_record."""
+    from tdr_draft_metadata_validator_spark.operators.gates import GateTripped
+
+    path = _write(tmp_path, "broken.csv",
+                  'Clip ID,Sample Rate\nclip/a.wav,16000\n"unclosed,8000\nclip/c.wav,22050\n')
+    with pytest.raises(GateTripped) as exc:
+        load_clips_csv(spark, path, MAPPING, consignment_id=CID)
+    assert exc.value.failure.file_error == FileError.INVALID_CSV
+
+
+def test_quoted_header_with_comma(spark, tmp_path):
+    """raw_csv_headers must apply RFC-4180 quoting: a quoted header
+    containing a comma is ONE header, matching Spark's own parser."""
+    path = _write(tmp_path, "quoted.csv",
+                  'Clip ID,"Date, Closed",Codec\nclip/a.wav,2020-01-01,flac\n')
+    headers = raw_csv_headers(spark, path)
+    assert headers == ["Clip ID", "Date, Closed", "Codec"]

@@ -34,3 +34,25 @@ def test_drift_shifted_durations_flagged(spark):
     assert {"psi", "ks"} <= names
     # protected-field rows also fire for every shifted clip (dur differs)
     assert len(merged) == 201
+
+
+def test_drift_breach_does_not_poison_lineage(spark):
+    """Run-level drift rows (asset_id = consignment id) must not mark any
+    DATA partition failed in the lineage metrics — otherwise resume
+    re-validates innocent clips forever while drift persists."""
+    pdf = datagen.clips_batch(np.arange(200))
+    pdf["dur_ms"] = pdf["dur_ms"] * 3 + 5000
+    clips = datagen.clips_df(spark, pdf)
+    ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(200)))
+    result = validate(spark, clips, ref, ValidationParameters(consignment_id=CID),
+                      with_audio=False, with_drift=True, n_logical_partitions=8)
+    assert result.file_error == FileError.SCHEMA_VALIDATION  # drift verdict
+    m = result.metrics.collect()
+    # every clip also trips protected-field dur_ms here, so partitions DO
+    # fail — but none can fail *because of* the run-level drift row: its
+    # violations must not be attributed to any partition_id
+    n_viol_attributed = sum(r["n_violations"] for r in m)
+    per_asset = result.merged.where(f"asset_id != '{CID}'")
+    from pyspark.sql import functions as F
+    n_real = per_asset.select(F.sum(F.size("errors"))).collect()[0][0]
+    assert n_viol_attributed == n_real
