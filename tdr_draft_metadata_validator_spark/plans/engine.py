@@ -221,7 +221,7 @@ def validate(
         # arbitrary data partition would mark that partition failed and
         # make resume re-validate innocent clips forever.
         metrics = partition_metrics(
-            clips, merged.where(F.col("asset_id") != F.lit(cid)), params,
+            clips, merged.where(~F.col("asset_id").eqNullSafe(F.lit(cid))), params,
             n_logical_partitions=n_logical_partitions, key=key,
             snapshot_id=snapshot_id,
             wall_ms=int((time.monotonic() - t0) * 1000),
