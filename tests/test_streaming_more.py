@@ -173,3 +173,70 @@ def test_streaming_sessionize_late_event_does_not_rewind(spark, tmp_path):
     # 10:40 is 20 min after the 10:20 frontier -> same session, NOTHING
     # closed; a rewound frontier (10:01) would have falsely split here
     assert rows == []
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """One rule set, one semantics: the stateful streaming sessionizer's
+    CLOSED sessions must equal the batch window-pass sessionization on
+    the same events (open/trailing sessions excluded — they are still in
+    streaming state)."""
+    from pyspark.sql import Window, functions as F
+
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        sessionize_stream,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 40)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+
+    # batch sessionization (the oracle-green `sessionize` query's shape),
+    # aggregated to closed sessions: drop each user's LAST session (the
+    # one streaming still holds open)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("double")  # fractional seconds, like the stream
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sidx", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = sess.groupBy("user_id", "sidx").agg(
+        F.min(epoch).alias("session_start"),
+        F.max(epoch).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+    last_sidx = sess.groupBy("user_id").agg(F.max("sidx").alias("last_sidx"))
+    def canon(uid, s0, s1, n, v):
+        # the two sides compute epochs via different float routes
+        # (ns/1e9 vs us/1e6) — canonicalize at millisecond precision
+        return (str(uid), round(s0, 3), round(s1, 3), n, round(v, 4))
+
+    closed_batch = {
+        canon(r["user_id"], r["session_start"], r["session_end"],
+              r["n_events"], r["session_value"])
+        for r in agg.join(last_sidx, "user_id")
+        .where(F.col("sidx") < F.col("last_sidx")).collect()
+    }
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sess_parity").start()
+    )
+    q.processAllAvailable()
+    try:
+        closed_stream = {
+            canon(r["user_id"], r["session_start"], r["session_end"],
+                  r["n_events"], r["session_value"])
+            for r in spark.sql("SELECT * FROM sess_parity").collect()
+        }
+    finally:
+        q.stop()
+    assert closed_stream == closed_batch
+    assert len(closed_batch) > 10  # non-trivial corpus
