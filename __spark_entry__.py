@@ -412,7 +412,8 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_embedding_near_dups(spark, sf):
-    """Exact cosine near-dup pairs (baseline; LSH variant is rows-only)."""
+    """Exact cosine near-dup pairs (the correctness baseline; the LSH
+    variant is the scale path, itself fully oracle-checked)."""
     emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 120).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
