@@ -219,7 +219,12 @@ def audio_invariants(
     # lossy decoders the residue is ~every lossy row: then the estimate
     # exceeds the broadcast limit and we fall back to a shuffle semi-join
     # instead of OOMing the driver.
-    cand = choose_join_side(mismatched, est_row_bytes=48)
+    # prefer_count: ``mismatched`` is join-derived, so its Catalyst size
+    # estimate is a selectivity guess that can land between the broadcast
+    # limit and the 2^62 sentinel — neither broadcasting nor counting —
+    # and the residue semi-joins would then shuffle full audio payloads.
+    # The count is cheap here (lineage ends at the eager localCheckpoint).
+    cand = choose_join_side(mismatched, est_row_bytes=48, prefer_count=True)
     cand_clips = clips.select(F.col(key).alias("clip_id"), "bytes", "codec").join(
         cand, on="clip_id", how="left_semi"
     )

@@ -224,7 +224,12 @@ def utf8_file_gate(spark, path: str, consignment_id: str) -> GateFailure | None:
             stream.close()
 
     jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(spark._jsc.hadoopConfiguration())
+    # resolve the filesystem FROM the input path, not the default FS:
+    # FileSystem.get(conf) returns the DEFAULT scheme's FS and throws
+    # "Wrong FS" on e.g. an s3a:// input when the default is HDFS/local
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
 
     def _files_of(p):
         """Expand a path/glob to its files (one directory level — the

@@ -195,7 +195,11 @@ def write_violations_json(
             if stale:
                 spark = merged.sparkSession
                 jvm = spark._jvm
-                fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+                # resolve the FS from the OUTPUT path (FileSystem.get(conf)
+                # is the default scheme's FS — "Wrong FS" on s3a:// output
+                # with an HDFS/local default, crashing an otherwise-clean
+                # run after the violations write)
+                fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
                     spark._jsc.hadoopConfiguration()
                 )
                 for p in stale:

@@ -41,20 +41,32 @@ def _violation(asset_col, error_key: str, process: str = PROCESS_ROW_VALIDATION,
 
 
 def choose_join_side(ref: DataFrame, est_row_bytes: int = 64,
-                     limit_bytes: int = BROADCAST_LIMIT_BYTES) -> DataFrame:
+                     limit_bytes: int = BROADCAST_LIMIT_BYTES,
+                     prefer_count: bool = False) -> DataFrame:
     """Stats-driven broadcast decision for the expected-keys side.
 
     Returns ``broadcast(ref)`` when the estimate fits, else ``ref``
     untouched (Catalyst/AQE then picks sort-merge, with skew-join
     splitting enabled). The estimate prefers the optimizer's own plan
     statistics when available.
+
+    ``prefer_count=True`` skips the plan-stats path and sizes via
+    ``count() * est_row_bytes`` directly — for JOIN-DERIVED frames whose
+    Catalyst size estimate is a selectivity guess that can land anywhere
+    between the limit and the 2^62 sentinel (neither broadcasting nor
+    falling back to the accurate count), and for frames that are cheap to
+    count (e.g. post-localCheckpoint).
     """
-    try:
-        size = ref._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        est = int(size.toString()) if not hasattr(size, "longValue") else size.longValue()
-    except Exception:
-        est = None
-    if est is None or est <= 0 or est > (1 << 62):  # unknown / sentinel max
+    est = None
+    if not prefer_count:
+        try:
+            size = ref._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            est = int(size.toString()) if not hasattr(size, "longValue") else size.longValue()
+        except Exception:
+            est = None
+        if est is not None and (est <= 0 or est > (1 << 62)):
+            est = None  # unknown / sentinel max
+    if est is None:
         try:
             est = ref.count() * est_row_bytes
         except Exception:

@@ -34,6 +34,15 @@ def raw_csv_headers(spark: SparkSession, path: str) -> list[str]:
     Parsed with RFC-4180 quoting rules (a naive split breaks quoted
     headers containing commas and diverges from what Spark's CSV parser
     sees).
+
+    ASSUMPTIONS (single-file header contract): ``path`` is a single CSV
+    file, or a shard directory whose shards all carry the SAME header —
+    ``spark.read.text(...).limit(1)`` takes the first line of an
+    ARBITRARY shard. A quoted header cell containing an EMBEDDED NEWLINE
+    is not supported here (the text source splits on raw line breaks
+    before the CSV quoting rules apply); such files need multiLine CSV
+    parsing end to end and are outside the reference's input contract
+    (CSVHandler.scala:46-48 reads the first physical line the same way).
     """
     import csv as _csv
 
@@ -100,6 +109,13 @@ def load_clips_csv(
         df = df.drop("_corrupt_record")
     if header_mapping:
         keep = {c: header_mapping[c] for c in df.columns if header_mapping.get(c)}
+        # without consignment_id the INVALID_CSV gate is the CALLER's job,
+        # so _corrupt_record must survive the mapping select (it is never
+        # in header_mapping) — dropping it here would make invalid_csv_gate
+        # return None via its "not in columns" guard and malformed rows
+        # would silently pass as null-filled rows
+        if consignment_id is None and "_corrupt_record" in df.columns:
+            keep["_corrupt_record"] = "_corrupt_record"
         df = df.select(*[F.col(c).alias(p) for c, p in keep.items()])
     # late typing: the CSV is schema-on-read strings; coerce known columns
     for field in CLIPS_SCHEMA.fields:

@@ -40,10 +40,27 @@ def test_csv_load_with_header_mapping(spark, tmp_path):
                   "clip/b.wav,8000,900,opus,more words,zzz\n")
     df, headers = load_clips_csv(spark, path, MAPPING)
     assert headers == ["Clip ID", "Sample Rate", "Duration", "Codec", "Transcript", "Ignored"]
-    assert set(df.columns) == {"clip_id", "sr_hz", "dur_ms", "codec", "transcript"}
+    # _corrupt_record survives the mapping select (no consignment_id ->
+    # the INVALID_CSV gate is the caller's job and needs the column)
+    assert set(df.columns) == {
+        "clip_id", "sr_hz", "dur_ms", "codec", "transcript", "_corrupt_record"
+    }
     rows = {r["clip_id"]: r for r in df.collect()}
     assert rows["clip/a.wav"]["sr_hz"] == 16000  # late typing applied
     assert rows["clip/b.wav"]["dur_ms"] == 900
+
+
+def test_csv_mapping_keeps_corrupt_record_for_caller_gate(spark, tmp_path):
+    """Regression (ADVICE r2): header_mapping + no consignment_id used to
+    DROP _corrupt_record in the mapping select, so invalid_csv_gate
+    returned None and malformed rows silently passed as null-filled rows."""
+    path = _write(tmp_path, "bad.csv",
+                  "Clip ID,Sample Rate,Duration,Codec,Transcript\n"
+                  "clip/a.wav,16000\n")  # short row -> _corrupt_record
+    df, _ = load_clips_csv(spark, path, MAPPING)
+    failure = invalid_csv_gate(df, CID)
+    assert failure is not None
+    assert failure.file_error == FileError.INVALID_CSV
 
 
 def test_csv_duplicate_header_gate(spark, tmp_path):

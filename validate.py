@@ -101,6 +101,12 @@ def main(argv=None):
     else:
         clips = read_clips(spark, args.table)
     ref = read_ref_clips(spark, args.ref) if args.ref else None
+    ref_full = ref
+
+    # drift is a RUN-LEVEL, whole-table fact: keep an unfiltered handle so
+    # a --resume run computes PSI/KS over the same distribution as the
+    # original run (the resume-filtered subset could flip the verdict)
+    clips_full = clips
 
     done: list[int] = []
     if args.resume and args.checkpoint:
@@ -153,8 +159,11 @@ def main(argv=None):
     if args.drift and (ref is not None or drift_profile is not None):
         from tdr_draft_metadata_validator_spark.operators.stats import drift_violations
 
+        # clips_full, not clips: drift must see the WHOLE table even when
+        # --resume filtered the row-check work list, so the run-level
+        # verdict is independent of resume state
         drift_rows = drift_violations(
-            spark, clips, ref, args.consignment_id, profile_df=drift_profile
+            spark, clips_full, ref_full, args.consignment_id, profile_df=drift_profile
         )
 
     # ---- sub-run chunking: lineage + violations recorded PER CHUNK -------
