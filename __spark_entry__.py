@@ -381,17 +381,18 @@ def q_contamination(spark, sf):
 
 
 def q_hash_split(spark, sf):
-    """Deterministic train/val/test split by key hash (portable md5 lane
-    mod 10k buckets) — stable across runs/parallelism, never leaks a doc
+    """Deterministic train/val/test split by key hash (md5 lane here so
+    the DuckDB oracle replicates the buckets; production default is
+    xxhash64) — stable across runs/parallelism, never leaks a doc
     between splits on re-runs."""
     docs = _t(spark, sf, "documents")
-    return text.hash_split(docs).select("doc_id", "split")
+    return text.hash_split(docs, lane="md5").select("doc_id", "split")
 
 
 def q_minhash_signatures(spark, sf):
     """MinHash signature lanes (md5-based, engine-portable)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
-    sigs = dedup.minhash_signatures(docs, num_hashes=4, n=1)
+    sigs = dedup.minhash_signatures(docs, num_hashes=4, n=1, lane="md5")
     return sigs.select(
         "id", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
     )
@@ -400,14 +401,14 @@ def q_minhash_signatures(spark, sf):
 def q_simhash(spark, sf):
     """32-bit SimHash fingerprints over tokens."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
-    return dedup.simhash(docs, bits=32)
+    return dedup.simhash(docs, bits=32, lane="md5")
 
 
 def q_simhash_pairs(spark, sf):
     """SimHash near-pairs: 4-chunk pigeonhole candidates + exact Hamming
     filter — fully oracle-checked (bit_count(xor) replicated in SQL)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
-    out = dedup.simhash_near_pairs(docs, max_hamming=6, bits=32)
+    out = dedup.simhash_near_pairs(docs, max_hamming=6, bits=32, lane="md5")
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -547,7 +548,8 @@ def q_minhash_lsh_candidates(spark, sf):
     signature lanes and the per-band md5-of-joined-lanes are both
     reproducible in DuckDB (same decimal rendering of the lane longs)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
-    return dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=1)
+    return dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=1,
+                                        lane="md5")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -589,6 +591,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "rollup": q_rollup,
         "pivot": q_pivot,
+    }
+
+
+def production_overrides() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Production-lane variants of the hash-signature queries, used by
+    bench.py. ``queries()`` keeps ``lane="md5"`` because the DuckDB oracle
+    replicates those lanes bit-for-bit; production runs xxhash64 lanes
+    (one JVM integer hash per lane vs an md5+conv chain per lane per
+    token). Same operator, same semantics, different hash family — the
+    bench measures what a deployment actually runs."""
+
+    def p_minhash_lsh(spark, sf):
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+        return dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=1)
+
+    def p_minhash_sigs(spark, sf):
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+        sigs = dedup.minhash_signatures(docs, num_hashes=4, n=1)
+        return sigs.select(
+            "id", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
+        )
+
+    def p_simhash(spark, sf):
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+        return dedup.simhash(docs, bits=32)
+
+    def p_simhash_pairs(spark, sf):
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+        out = dedup.simhash_near_pairs(docs, max_hamming=6, bits=32)
+        return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+    def p_hash_split(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return text.hash_split(docs).select("doc_id", "split")
+
+    return {
+        "minhash_lsh_candidates": p_minhash_lsh,
+        "minhash_signatures": p_minhash_sigs,
+        "simhash": p_simhash,
+        "simhash_pairs": p_simhash_pairs,
+        "hash_split": p_hash_split,
     }
 
 

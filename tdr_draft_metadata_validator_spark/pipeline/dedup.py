@@ -7,9 +7,19 @@ candidate generation is always a bucket equi-join — the classic
 MinHash/LSH shape (Broder 1997; Leskovec et al., "Mining of Massive
 Datasets" ch.3) — never an O(n^2) cross join.
 
-Portability note: signatures use md5-derived 32-bit lanes
-(``conv(substr(md5(x),1,8),16,10)``) instead of xxhash64 so the DuckDB
-oracle can reproduce values bit-for-bit.
+Hash-lane modes: every signature family takes ``lane=``
+
+- ``"xxhash64"`` (PRODUCTION default) — one JVM-side 64-bit xxHash per
+  lane, no string materialization; 16-32 lanes cost 16-32 cheap integer
+  hashes per exploded token instead of 16-32 md5-of-concat+conv chains.
+- ``"md5"`` (ORACLE mode) — md5-derived 32-bit lanes
+  (``conv(substr(md5(x),1,8),16,10)``) that DuckDB reproduces
+  bit-for-bit; used by the ``queries()``/``oracle_sql()`` parity gate.
+
+Lane choice never changes operator SEMANTICS (min over lanes, band
+grouping, sign-sums are hash-agnostic) — only which hash family supplies
+the lanes; tests/test_pipeline_ops.py asserts both modes recover the
+same verified near-dup sets.
 """
 
 from __future__ import annotations
@@ -22,6 +32,22 @@ def _md5_lane(col: Column, seed: int) -> Column:
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(str(seed) + "\x1f"), col)), 1, 8), 16, 10
     ).cast("long")
+
+
+def _xxhash_lane(col: Column, seed: int) -> Column:
+    """Production 64-bit hash lane: one xxHash64 over (seed, value) —
+    stays in whole-stage codegen, no intermediate strings."""
+    return F.xxhash64(F.lit(seed), col)
+
+
+_LANES = {"md5": _md5_lane, "xxhash64": _xxhash_lane}
+
+
+def _lane_fn(lane: str):
+    try:
+        return _LANES[lane]
+    except KeyError:
+        raise ValueError(f"unknown lane mode {lane!r}; one of {sorted(_LANES)}") from None
 
 
 def _prune_hot_shingles(flat: DataFrame, df_cap: int, g_col: str = "g") -> DataFrame:
@@ -121,8 +147,12 @@ def jaccard_pairs(
         F.col(id_col).cast("string").alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
+    # the digest is a pure JOIN KEY (equality-preserving compression of
+    # the shingle): xxhash64 shuffles 8-byte longs instead of 32-char md5
+    # strings and skips the md5 CPU; the oracle joins on raw tokens, so
+    # digest choice is invisible to correctness
     flat = base.select("id", "sz", F.explode("sh").alias("g")).withColumn(
-        "g", F.md5("g")
+        "g", F.xxhash64("g")
     )
     if df_cap is not None:
         flat = _prune_hot_shingles(flat, df_cap)
@@ -152,15 +182,19 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lane: str = "xxhash64",
 ) -> DataFrame:
     """-> (id, sig array<long>[num_hashes]): sig[i] = min over shingles of
     lane-i hash. One explode + one groupBy(id) with num_hashes min()
-    partials — map-side combined, shuffle is (id, 32 longs)."""
+    partials — map-side combined, shuffle is (id, 32 longs).
+
+    ``lane="md5"`` only for oracle parity (module docstring)."""
+    fn = _lane_fn(lane)
     flat = docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("g"),
     )
-    aggs = [F.min(_md5_lane(F.col("g"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    aggs = [F.min(fn(F.col("g"), i)).alias(f"h{i}") for i in range(num_hashes)]
     sigs = flat.groupBy("id").agg(*aggs)
     return sigs.select(
         "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -174,6 +208,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lane: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands``; docs agreeing on ANY full band are candidates.
@@ -181,18 +216,21 @@ def minhash_lsh_candidates(
     one side is small, AQE-skew-splittable otherwise.
 
     -> (id_a, id_b, n_bands_matched) distinct candidate pairs.
+
+    ``lane`` picks both the signature lanes and the band-bucket hash:
+    xxhash64 hashes the band slice NATIVELY (one integer hash over the
+    array) where md5 mode string-joins it — the production/oracle split.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, lane=lane)
     band_cols = []
     for bidx in range(bands):
         piece = F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(
-                F.lit(bidx).alias("band"),
-                F.md5(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string")))).alias("bh"),
-            )
-        )
+        if lane == "md5":
+            bh = F.md5(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string"))))
+        else:
+            bh = F.xxhash64(piece).cast("string")
+        band_cols.append(F.struct(F.lit(bidx).alias("band"), bh.alias("bh")))
     buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
@@ -211,17 +249,18 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text", lane: str = "xxhash64") -> DataFrame:
     """32-bit SimHash (Charikar 2002) built from token hash sign-sums.
 
     Pure DataFrame ops: explode tokens, one groupBy(id) computing, per
     bit, sum(+1/-1) via the token hash's bit — then reassemble the
     fingerprint. Shuffle: (id, 32 small ints) partials.
+    ``lane="md5"`` only for oracle parity (module docstring).
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     flat = docs.select(
         F.col(id_col).cast("string").alias("id"), F.explode(toks).alias("t")
-    ).withColumn("h", _md5_lane(F.col("t"), 7))
+    ).withColumn("h", _lane_fn(lane)(F.col("t"), 7))
     bit_sums = flat.groupBy("id").agg(
         *[
             F.sum(
@@ -239,11 +278,12 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lane: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash, candidate-generated
     by 4-way fingerprint chunking (a pair within Hamming<=3 must agree on
     >=1 of 4 chunks — pigeonhole) then exact popcount filter."""
-    fps = simhash(docs, bits, id_col, text_col)
+    fps = simhash(docs, bits, id_col, text_col, lane=lane)
     chunk = bits // 4
     mask = (1 << chunk) - 1
     pieces = [
@@ -423,7 +463,7 @@ def contamination(
     tr = train.select(
         F.col(id_col).cast("string").alias("train_id"),
         F.explode(shingles(F.col(text_col), n)).alias("g"),
-    ).withColumn("g", F.md5("g"))
+    ).withColumn("g", F.xxhash64("g"))  # join key only — see jaccard_pairs
     if df_cap is not None:
         tr = _prune_hot_shingles(tr, df_cap)
     ev_base = eval_docs.select(
@@ -431,7 +471,7 @@ def contamination(
         shingles(F.col(text_col), n).alias("sh"),
     ).withColumn("ev_sz", F.size("sh"))
     ev = ev_base.select("eval_id", "ev_sz", F.explode("sh").alias("g")).withColumn(
-        "g", F.md5("g")
+        "g", F.xxhash64("g")
     )
     hits = (
         ev.join(tr, on="g")

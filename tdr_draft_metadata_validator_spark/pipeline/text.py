@@ -129,22 +129,29 @@ def hash_split(
     key_col: str = "doc_id",
     seed: int = 13,
     buckets: int = 10_000,
+    lane: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/val/test assignment by key hash — the split is
     a pure function of the key, so it is stable across runs, cluster
     sizes, and table re-partitioning (the property random() splits lack),
     and a doc can never leak between splits on re-runs.
 
-    Uses the portable md5 lane (same as the dedup signatures) so the
-    assignment is reproducible outside Spark too. -> docs + ``split``.
+    ``lane="xxhash64"`` (default) is the production hash — one JVM-side
+    integer hash per row; ``lane="md5"`` is the engine-portable variant
+    the DuckDB oracle reproduces bit-for-bit (dedup module docstring).
+    Both are pure functions of the key; pick ONE per corpus and keep it
+    (changing lanes re-rolls the split). -> docs + ``split``.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    lane = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}\x1f"), F.col(key_col).cast("string"))), 1, 8
-        ), 16, 10,
-    ).cast("long")
-    bucket = F.pmod(lane, F.lit(buckets))
+    if lane == "md5":
+        lane_col = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}\x1f"), F.col(key_col).cast("string"))), 1, 8
+            ), 16, 10,
+        ).cast("long")
+    else:
+        lane_col = F.xxhash64(F.lit(seed), F.col(key_col).cast("string"))
+    bucket = F.pmod(lane_col, F.lit(buckets))
     expr = None
     cum = 0.0
     names = list(weights)
