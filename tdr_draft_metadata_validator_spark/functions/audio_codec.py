@@ -15,19 +15,25 @@ Two codecs are REAL:
   sample-level-SNR residue path for real (quantization SNR ~35-40 dB on
   sine/speech-like signals — above the 30 dB threshold, below bit-exact).
 
-``flac`` and ``opus`` decoders remain STUBS: the container image has no
-audio libraries, so they are deterministic fakes that delegate to the
-WAV parser (the synthetic generator always produces RIFF payloads for
-them). Swapping a stub for ``soundfile``/``pyogg`` is a one-function
-change; the lossy-path plumbing they would exercise is already covered
-end-to-end by ``ulaw``.
+``flac`` and ``opus`` decode REAL when ``soundfile`` (libsndfile) is
+importable — the same import-try pattern as PIL in image_codec.py; in
+this container the lib is absent, so they fall back to deterministic
+stubs that delegate to the WAV parser (the synthetic generator always
+produces RIFF payloads for them). The lossy-path plumbing a real FLAC/
+opus decode would exercise is already covered end-to-end by ``ulaw``.
 """
 
 from __future__ import annotations
 
+import io
 import struct
 
 import numpy as np
+
+try:  # real FLAC/OGG decode when libsndfile is present (not in this image)
+    import soundfile as _soundfile
+except ImportError:  # pragma: no cover - environment-dependent
+    _soundfile = None
 
 CODEC_WHITELIST = ("pcm_s16le", "ulaw", "flac", "opus")
 
@@ -118,26 +124,39 @@ def decode_ulaw(payload: bytes) -> tuple[int, np.ndarray]:
     return sr_hz, np.clip(np.round(f * 32768.0), -32768, 32767).astype(np.int16)
 
 
-def decode_flac_stub(payload: bytes) -> tuple[int, np.ndarray]:
-    """STUB: no FLAC lib in the image; synthetic 'flac' payloads are RIFF.
+def _decode_soundfile(payload: bytes) -> tuple[int, np.ndarray]:
+    """Real decode via libsndfile (FLAC, OGG/opus, and more): int16 mono.
+    Structural corruption raises ValueError like the byte-level parsers
+    (the decode gate turns it into a violation row, never a crash)."""
+    try:
+        samples, sr_hz = _soundfile.read(io.BytesIO(payload), dtype="int16")
+    except Exception as exc:
+        raise ValueError(f"soundfile decode failed: {exc}") from exc
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 2:  # downmix is NOT the validator's job — refuse
+        raise ValueError(f"unsupported layout ch={samples.shape[1]}")
+    return int(sr_hz), samples
 
-    A real deployment replaces this with ``soundfile.read``. Kept as a
-    separate symbol so the dispatch table / tests exercise the codec
-    routing for real.
-    """
+
+def decode_flac_stub(payload: bytes) -> tuple[int, np.ndarray]:
+    """FALLBACK when soundfile is absent (this image): synthetic 'flac'
+    payloads are RIFF, so delegate to the WAV parser. Kept as a separate
+    symbol so the dispatch table / tests exercise the codec routing for
+    real; :data:`DECODERS` binds 'flac' to the REAL soundfile decoder
+    whenever the lib imports."""
     return decode_wav_pcm16(payload)
 
 
 def decode_opus_stub(payload: bytes) -> tuple[int, np.ndarray]:
-    """STUB: see :func:`decode_flac_stub`."""
+    """FALLBACK: see :func:`decode_flac_stub`."""
     return decode_wav_pcm16(payload)
 
 
 DECODERS = {
     "pcm_s16le": decode_wav_pcm16,
     "ulaw": decode_ulaw,
-    "flac": decode_flac_stub,
-    "opus": decode_opus_stub,
+    "flac": _decode_soundfile if _soundfile is not None else decode_flac_stub,
+    "opus": _decode_soundfile if _soundfile is not None else decode_opus_stub,
 }
 
 

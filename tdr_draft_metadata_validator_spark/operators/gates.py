@@ -147,15 +147,18 @@ def invalid_csv_gate(df: DataFrame, consignment_id: str) -> GateFailure | None:
 
     # Spark refuses to query the internal corrupt-record column straight
     # off the file scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
-    # COLUMN); the documented pattern is to cache the parsed frame first —
-    # which also means the file parses ONCE for both the gate and the
-    # downstream checks.
+    # COLUMN); the documented pattern is to cache the parsed frame first.
+    # On the CLEAN path the cache is LEFT ALIVE: downstream checks derive
+    # from the same plan and hit the InMemoryRelation instead of
+    # re-parsing the file (test_csv_clean_path_reuses_parse_cache); the
+    # engine unpersists it when the run's outputs have materialized. On
+    # the failure path the run short-circuits, so the cache is dropped
+    # here.
     cached = df.cache()
     n_bad = cached.where(F.col("_corrupt_record").isNotNull()).limit(1).count()
     if not n_bad:
-        cached.unpersist()
-    if not n_bad:
         return None
+    cached.unpersist()
     err = Error("FILE_CHECK", consignment_id, "INVALID_CSV",
                 "FILE_CHECK.CSV.INVALID")
     return GateFailure(

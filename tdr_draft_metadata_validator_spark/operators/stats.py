@@ -69,20 +69,27 @@ def column_stats(
 
 @dataclass
 class ColumnProfile:
-    """Materialized reference distribution for ONE column: decile edges,
-    bin fractions over those edges, and the HLL distinct estimate —
-    everything :func:`drift_check` needs from the reference side."""
+    """Materialized reference distribution for ONE column — everything
+    the warm drift path needs from the reference side, so the reference
+    table is touched ZERO times per run.
+
+    ``kind="numeric"``: decile ``edges`` + bin ``fractions`` over them.
+    ``kind="categorical"``: per-category ``fractions`` aligned with
+    ``categories`` (edges empty). Both carry the HLL distinct estimate.
+    """
 
     column: str
     edges: list[float]
     fractions: list[float]
     approx_distinct: int
+    kind: str = "numeric"
+    categories: list[str] | None = None
 
 
-# (column, edges, fractions, approx_distinct) — the persisted manifest shape
+# the persisted manifest shape; ``categories`` is NULL for numeric rows
 PROFILE_SCHEMA = (
     "column string, edges array<double>, fractions array<double>, "
-    "approx_distinct long"
+    "approx_distinct long, kind string, categories array<string>"
 )
 
 
@@ -91,13 +98,16 @@ def build_ref_profile(
     reference: DataFrame,
     columns: tuple[tuple[str, str], ...] = (("dur_ms", "ref_dur_ms"), ("sr_hz", "ref_sr_hz")),
     n_bins: int = 10,
+    categorical_columns: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
     """Materialize the reference's drift profile ONCE per table snapshot
     (mirrors ``audio.ref_fingerprints``): a tiny DataFrame of
-    (column, edges, fractions, approx_distinct) rows, persisted alongside
-    the snapshot so warm validation runs never scan the reference table
-    for drift at all. At 100 TB this converts 3 reference scans per
-    drifted column per run into zero.
+    (column, edges, fractions, approx_distinct, kind, categories) rows,
+    persisted alongside the snapshot so warm validation runs never scan
+    the reference table for drift at all. At 100 TB this converts 3
+    reference scans per drifted column per run into zero — for numeric
+    AND categorical columns alike (``categorical_columns`` rows carry
+    per-category fractions instead of decile bins).
 
     Keyed by the CURRENT-side column name so consumers never need the
     ref_* mapping again.
@@ -108,18 +118,29 @@ def build_ref_profile(
         edges = sorted(set(_quantiles(reference, ref_col, probs)))
         p = _bin_fractions(reference, ref_col, edges)
         rd = reference.agg(F.approx_count_distinct(ref_col)).collect()[0][0]
-        rows.append((col, [float(e) for e in edges], [float(x) for x in p], int(rd)))
+        rows.append((col, [float(e) for e in edges], [float(x) for x in p],
+                     int(rd), "numeric", None))
+    for col, ref_col in categorical_columns:
+        frac = _category_fractions(reference, ref_col)
+        cats = sorted(frac)
+        rd = reference.agg(F.approx_count_distinct(ref_col)).collect()[0][0]
+        rows.append((col, [], [float(frac[c]) for c in cats], int(rd),
+                     "categorical", cats))
     return spark.createDataFrame(rows, PROFILE_SCHEMA)
 
 
 def load_profiles(profile_df: DataFrame) -> dict[str, ColumnProfile]:
-    """Collect the (tiny: one row per column) profile manifest."""
+    """Collect the (tiny: one row per column) profile manifest. Tolerates
+    pre-categorical manifests (no kind/categories columns -> numeric)."""
+    has_kind = "kind" in profile_df.columns
     return {
         r["column"]: ColumnProfile(
             column=r["column"],
-            edges=list(r["edges"]),
+            edges=list(r["edges"] or []),
             fractions=list(r["fractions"]),
             approx_distinct=int(r["approx_distinct"]),
+            kind=(r["kind"] if has_kind and r["kind"] else "numeric"),
+            categories=(list(r["categories"]) if has_kind and r["categories"] is not None else None),
         )
         for r in profile_df.collect()
     }
@@ -215,8 +236,12 @@ def drift_violations(
         )
     rows = []
     for col, ref_col in columns:
-        rep = drift_check(current, reference, col, ref_col,
-                          profile=profiles.get(col))
+        prof = profiles.get(col)
+        if prof is not None and prof.kind == "categorical":
+            rep = drift_check_categorical(current, reference, col, ref_col,
+                                          profile=prof)
+        else:
+            rep = drift_check(current, reference, col, ref_col, profile=prof)
         if rep.breaches(psi_threshold, ks_threshold):
             rows.append(
                 (
@@ -234,30 +259,45 @@ def drift_violations(
     return spark.createDataFrame(rows, VIOLATION_SCHEMA)
 
 
+def _category_fractions(df: DataFrame, col: str) -> dict[str, float]:
+    """Per-category fraction map — one groupBy over the single column,
+    O(categories) scalars to the driver."""
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r["n"] for r in rows) or 1
+    return {r["c"]: r["n"] / total for r in rows}
+
+
 def drift_check_categorical(
     current: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None,
     column: str,
     ref_column: str | None = None,
+    profile: ColumnProfile | None = None,
 ) -> DriftReport:
     """A6 for CATEGORICAL columns (codec, language, label): PSI over
     per-category fractions; the KS slot carries the max per-category
     fraction gap (total-variation-style). One groupBy per side over the
     single column; O(categories) scalars on the driver.
+
+    ``profile`` given (the scale path, matching :func:`drift_check`'s
+    numeric design): the reference fractions come from the materialized
+    manifest — the reference table is touched ZERO times and may be None.
     """
     ref_column = ref_column or column
-
-    def fractions(df, col):
-        rows = (
-            df.where(F.col(col).isNotNull())
-            .groupBy(F.col(col).cast("string").alias("c"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+    if profile is not None:
+        p_map = dict(zip(profile.categories or [], profile.fractions))
+    elif reference is not None:
+        p_map = _category_fractions(reference, ref_column)
+    else:
+        raise ValueError(
+            "drift_check_categorical needs either a reference table or a profile"
         )
-        total = sum(r["n"] for r in rows) or 1
-        return {r["c"]: r["n"] / total for r in rows}
-
-    p_map, q_map = fractions(reference, ref_column), fractions(current, column)
+    q_map = _category_fractions(current, column)
     cats = sorted(set(p_map) | set(q_map))
     p = [p_map.get(c, 0.0) for c in cats]
     q = [q_map.get(c, 0.0) for c in cats]

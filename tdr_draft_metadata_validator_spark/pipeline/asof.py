@@ -10,8 +10,10 @@ Implementation: union-tag + one window pass —
 1. union the two sides with a source tag (right rows sort BEFORE left
    rows at equal timestamps, giving inclusive <= semantics),
 2. ``last(value, ignorenulls=True)`` over
-   ``partitionBy(key).orderBy(ts, tag)`` carries the latest right value
-   forward,
+   ``partitionBy(key).orderBy(ts, tag, tie)`` carries the latest right
+   value forward — ``tie`` (a content hash of the right row's values)
+   makes the order TOTAL so duplicate right timestamps carry a
+   DETERMINISTIC row under any repartitioning,
 3. filter back to left rows.
 
 One shuffle on the key (same as any co-grouped operator); no
@@ -56,12 +58,20 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__src"),
         null_struct.alias("__r"),
+        F.lit(0).cast("long").alias("__tie"),
     )
+    # __tie makes the window order TOTAL when one key has several right
+    # rows at the SAME timestamp: without it the carried row among exact
+    # ties is whatever the sort happened to place last — plan/partitioning
+    # dependent. A content hash of the value struct is deterministic under
+    # any repartitioning (hash-equal ties are value-equal, so ambiguity
+    # is harmless); the row carried is the max-hash one among ties.
     r_tag = right.select(
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias("__src"),
         r_struct.alias("__r"),
+        F.xxhash64(r_struct).alias("__tie"),
     )
     for c in left.columns:
         if c not in r_tag.columns:
@@ -70,7 +80,7 @@ def asof_join(
 
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on), F.col("__src"))
+        .orderBy(F.col(on), F.col("__src"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
@@ -82,7 +92,7 @@ def asof_join(
             "*",
             *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
         )
-        .drop("__src", "__r", "__carried")
+        .drop("__src", "__r", "__carried", "__tie")
     )
 
 
