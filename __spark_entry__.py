@@ -370,6 +370,17 @@ def q_near_dup_components(spark, sf):
     return dedup.near_dup_components(pairs).select("id", "component")
 
 
+def q_near_dup_components_star(spark, sf):
+    """Scale path for near-dup clustering: large-star/small-star
+    alternation (Kiveris et al. 2014) — O(log^2 n) rounds instead of
+    O(diameter). Same recursive-CTE transitive-closure oracle as
+    near_dup_components: both methods must produce identical
+    (id, component) labels."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.6, n=1)
+    return dedup.near_dup_components(pairs, method="star").select("id", "component")
+
+
 def q_contamination(spark, sf):
     """Decontamination screen: eval docs (doc_id<100) whose token sets
     are >=50% contained in a training doc (doc_id>=100) — asymmetric
@@ -576,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "jaccard_pairs": q_jaccard_pairs,
         "near_dup_components": q_near_dup_components,
+        "near_dup_components_star": q_near_dup_components_star,
         "contamination": q_contamination,
         "hash_split": q_hash_split,
         "minhash_signatures": q_minhash_signatures,
@@ -868,6 +880,14 @@ def _ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
 
 
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sqls()
+    # the star method must produce byte-identical labels to min-label:
+    # same recursive-CTE transitive-closure oracle
+    sqls["near_dup_components_star"] = sqls["near_dup_components"]
+    return sqls
+
+
+def _oracle_sqls() -> dict[str, str]:
     lang_profiles = {
         "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
         "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],

@@ -352,19 +352,34 @@ def near_dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    method: str = "minlabel",
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: -> (id, component) where
     component = MIN id reachable from the node (canonical representative).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels (one equi-join + one
-    groupBy per round); converges in <= graph-diameter rounds, checked
-    with a cheap count. Labels are localCheckpoint'ed per round — the
-    standard iterative-Spark guard against exponential plan growth. At
-    10^12-row scale one would switch to the large-star/small-star
-    alternation (Kiveris et al. 2014), which bounds rounds at
-    O(log^2 n); the propagation shape (join + min-agg) is identical.
+    Two methods, identical output:
+
+    - ``"minlabel"`` (default; the simple path): each round every node
+      takes the min of its own label and its neighbors' labels (one
+      equi-join + one groupBy per round); converges in <= graph-DIAMETER
+      rounds — fine for the short chains near-dup graphs usually form.
+    - ``"star"`` (the scale path): large-star/small-star alternation
+      (Kiveris et al. 2014, "Connected Components in MapReduce and
+      Beyond"), which bounds rounds at O(log^2 n) regardless of
+      diameter — the right choice at 10^12 rows where one pathological
+      long chain would stall min-label. See
+      :func:`near_dup_components_star`.
+
+    Labels are localCheckpoint'ed per round — the standard
+    iterative-Spark guard against exponential plan growth.
+    ``rounds_out``: optional list the round count is appended to.
     """
+    if method == "star":
+        return near_dup_components_star(pairs, id_a, id_b, max_iter,
+                                        rounds_out=rounds_out)
+    if method != "minlabel":
+        raise ValueError(f"unknown method {method!r}; 'minlabel' or 'star'")
     edges = (
         pairs.select(F.col(id_a).cast("string").alias("a"),
                      F.col(id_b).cast("string").alias("b"))
@@ -379,6 +394,7 @@ def near_dup_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=False)
     )
+    rounds = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -401,6 +417,7 @@ def near_dup_components(
             .count()
         )
         labels = new_labels
+        rounds += 1
         if not changed:
             break
     else:
@@ -410,9 +427,110 @@ def near_dup_components(
         # large-star/small-star variant for log^2-round convergence
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter); raise max_iter"
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "method='star' (O(log^2 n) rounds)"
         )
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels
+
+
+def near_dup_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al. 2014) — the 10^12-row path: converges in O(log^2 n)
+    ROUNDS regardless of graph diameter, where min-label propagation
+    needs O(diameter) rounds (a 10^6-long chain = 10^6 joins).
+
+    Per round (all bucketed equi-joins + min-aggs, shuffle carries only
+    id pairs; edge frame localCheckpoint'ed to truncate lineage):
+
+    - **large-star**: every node connects its STRICTLY-LARGER neighbors
+      to the min of its neighborhood (incl. itself) — long chains fold
+      toward local minima in parallel.
+    - **small-star**: edges directed max->min; every node connects its
+      smaller neighbors AND itself to the neighborhood min — flattens
+      partial stars.
+
+    At convergence (edge set is a fixpoint) the edges form a STAR FOREST
+    rooted at each component's MIN id. Output matches
+    :func:`near_dup_components` exactly: (id, component).
+    """
+    e = (
+        pairs.select(F.col(id_a).cast("string").alias("u"),
+                     F.col(id_b).cast("string").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        nbrs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        return (
+            nbrs.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        to_m = directed.join(mins, on="u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_m = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            to_m.unionByName(self_m)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    rounds = 0
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        # fixpoint test: exact symmetric-difference probe on the (small,
+        # post-contraction) edge frames — both sides distinct by
+        # construction, so exceptAll in either direction suffices with a
+        # count guard
+        same = (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        e = new_e
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter"
+        )
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # star forest -> labels: edge (u, root) per non-root node; roots (and
+    # any node isolated by contraction) label themselves
+    return nodes.join(e, nodes["id"] == e["u"], "left").select(
+        nodes["id"], F.coalesce(F.col("v"), nodes["id"]).alias("component")
+    )
 
 
 def drop_near_duplicates(

@@ -156,9 +156,11 @@ def ivf_topk(
     q_id_col: str | None = None,
     q_vec_col: str | None = None,
     dim: int | None = None,
+    codebook: str = "auto",
+    codegen_term_limit: int = 4096,
 ) -> DataFrame:
     """IVF approximate top-k: centroid assignment (one projection, argmax
-    of K dot products against codebook literals — JVM-side, no shuffle),
+    of K dot products against the codebook — JVM-side, no shuffle),
     query-side top-``n_probe`` centroid probes (broadcast: queries are
     few), candidate equi-join on centroid id, exact cosine re-rank,
     per-query top-k window.
@@ -168,18 +170,54 @@ def ivf_topk(
     searched). At scale the corpus scan is centroid-pruned: with
     partitioning/bucketing by centroid the probe join touches
     n_probe/n_centroids of the data.
+
+    ``codebook`` — how the K x dim centroid matrix reaches executors:
+
+    - ``"literal"``: every coefficient is a plan literal. Fine at oracle
+      scale (16 x 64 = 1,024 terms, and exactly reproducible in SQL);
+      at production K it bloats the plan/codegen quadratically —
+      4,096 x 1,024 would be 4M expression nodes.
+    - ``"broadcast"``: the codebook rides as ONE array<array<double>>
+      column on a broadcast 1-row frame; dots are computed with
+      ``transform``/``aggregate``/``zip_with`` over it — plan size is
+      O(1) in K x dim, data ships once per executor.
+    - ``"auto"`` (default): literal while n_centroids * dim <=
+      ``codegen_term_limit``, else broadcast.
     """
     if dim is None:
         raise ValueError("dim is required (embedding dimensionality)")
     q_id_col = q_id_col or id_col
     q_vec_col = q_vec_col or vec_col
     cents = ivf_centroids(dim, n_centroids, seed)
-    cent_lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
+    if codebook == "auto":
+        codebook = "literal" if n_centroids * dim <= codegen_term_limit else "broadcast"
+    if codebook not in ("literal", "broadcast"):
+        raise ValueError(f"unknown codebook mode {codebook!r}")
 
-    def dots_of(vcol):
-        return F.array(*[_dot(vcol, cl) for cl in cent_lits])
+    if codebook == "literal":
+        cent_lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
 
-    corpus = emb.select(
+        def dots_of(vcol):
+            return F.array(*[_dot(vcol, cl) for cl in cent_lits])
+
+        def with_codebook(df):
+            return df
+    else:
+        cb_df = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                [(cents,)], "__cb array<array<double>>"
+            )
+        )
+
+        def dots_of(vcol):
+            return F.transform(F.col("__cb"), lambda c: _dot(vcol, c))
+
+        def with_codebook(df):
+            # 1-row broadcast cross join: attaches the codebook column to
+            # every row at ~zero cost, no shuffle
+            return df.crossJoin(cb_df)
+
+    corpus = with_codebook(emb).select(
         F.col(id_col).cast("string").alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
@@ -192,7 +230,7 @@ def ivf_topk(
         .cast("int").alias("centroid"),
     )
 
-    q = queries.select(
+    q = with_codebook(queries).select(
         F.col(q_id_col).cast("string").alias("query_id"),
         F.col(q_vec_col).alias("qv"),
         _norm(F.col(q_vec_col)).alias("qn"),
