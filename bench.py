@@ -91,6 +91,25 @@ def run_validation(spark, clips_path: str, ref_path: str,
     return wall, int(n_rows)
 
 
+def headline_240k():
+    """Child mode (spawned by main): full-invariant validation at 240k
+    clips on local[8] — the scaling-regime headline the judge tracks
+    alongside the sf0.1 local[32] number. Separate process because a JVM
+    can't change master mid-session. Prints one JSON line."""
+    from tdr_draft_metadata_validator_spark.session import get_spark
+
+    n = int(os.environ.get("SPARK_GRAFT_240K_CLIPS", "240000"))
+    cores = int(os.environ.get("SPARK_GRAFT_240K_CPUS", "8"))
+    spark = get_spark(app_name="bench-240k", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    clips_path, ref_path, fp_path = ensure_bench_tables(spark, n)
+    wall, n_rows = run_validation(spark, clips_path, ref_path, fp_path)
+    wall = min(wall, run_validation(spark, clips_path, ref_path, fp_path)[0])
+    print(json.dumps({"wall": round(wall, 3), "n_rows": n_rows,
+                      "cores": cores}))
+    spark.stop()
+
+
 def main():
     from tdr_draft_metadata_validator_spark.session import get_spark
 
@@ -130,7 +149,7 @@ def main():
             walls.append(time.monotonic() - t0)
         timings[name] = round(min(walls), 3)
 
-    print(json.dumps({
+    out = {
         "metric": "clips_validated_per_sec",
         "value": round(clips_per_sec, 1),
         "unit": "sec",
@@ -138,9 +157,37 @@ def main():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_clips": n_rows,
         "cpus": CPUS,
-    }))
+    }
     spark.stop()
+
+    # 240k local[8] full-invariant headline (judge r2 task 8): the
+    # scaling-regime number, in a child process (fresh JVM at local[8]).
+    # Skippable with SPARK_GRAFT_BENCH_240K=0; failures never sink the
+    # main bench line.
+    if os.environ.get("SPARK_GRAFT_BENCH_240K", "1") != "0":
+        import subprocess
+
+        try:
+            env = dict(os.environ)
+            env.pop("SPARK_GRAFT_CPUS", None)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-240k"],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            child = json.loads(r.stdout.strip().splitlines()[-1])
+            out["clips_per_sec_240k_local8"] = round(
+                child["n_rows"] / child["wall"], 1
+            )
+            out["queries"]["validate_full_240k_local8"] = child["wall"]
+        except Exception as exc:  # missing tables / timeout: report, don't die
+            out["clips_per_sec_240k_local8"] = None
+            out["headline_240k_error"] = str(exc)[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--headline-240k" in sys.argv:
+        headline_240k()
+    else:
+        main()

@@ -11,9 +11,10 @@ PPM (P6) and 24-bit BMP are parsed byte-for-byte in numpy
 (functions/image_codec.py), and resize/feature-extract operate on the
 actual pixels. PNG/JPEG decoding needs an imaging lib the container
 lacks; those payloads surface as decode_ok=False with a clear reason
-(PIL is picked up automatically when present). VIDEO remains a
-documented stub (pseudo-frame chunking) — the 1:N mapInPandas plumbing
-is the real contract a pyav/ffmpeg decoder drops into.
+(PIL is picked up automatically when present). VIDEO decode is REAL for
+uncompressed 24-bit DIB AVI (functions/video_codec.py parses the RIFF
+container byte-for-byte); compressed codecs need ffmpeg/pyav and are
+skipped with the same decode_ok=False policy.
 """
 
 from __future__ import annotations
@@ -123,11 +124,21 @@ def sample_frames(
     every_n: int = 10,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    raw_chunk_fallback: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one input row ->
-    multiple frame rows (1:N mapInPandas — the batch iterator contract
-    allows output cardinality != input). STUB 'video' = payload chunked
-    into fixed-size pseudo-frames; a real build swaps in pyav/ffmpeg."""
+    """Video frame sampling: one input row -> multiple frame rows (1:N
+    mapInPandas — the batch iterator contract allows output cardinality
+    != input). REAL decode for uncompressed 24-bit DIB AVI payloads
+    (functions/video_codec.py parses the RIFF container byte-for-byte);
+    every ``every_n``-th frame is re-encoded as PPM so sampled frames
+    feed straight into :func:`image_features` / :func:`resize_images`.
+
+    Payloads the byte-level parser cannot read (compressed codecs need
+    ffmpeg/pyav) are SKIPPED — same decode_ok=False policy as audio and
+    images. ``raw_chunk_fallback=True`` restores round-2's pseudo-frame
+    chunking for opaque payloads (fixed 256-byte slices), for pipelines
+    that only exercise the 1:N plumbing."""
+    from ..functions.video_codec import decode_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk = 256
@@ -137,11 +148,21 @@ def sample_frames(
                 payload = pdf[payload_col].iat[i]
                 if payload is None:
                     continue
-                n_frames = max(1, len(payload) // chunk)
-                for f in range(0, n_frames, every_n):
-                    ids.append(str(pdf[id_col].iat[i]))
-                    idxs.append(f)
-                    frames.append(bytes(payload[f * chunk:(f + 1) * chunk]))
+                mid = str(pdf[id_col].iat[i])
+                try:
+                    _fps, decoded = decode_avi(bytes(payload))
+                    for f in range(0, len(decoded), every_n):
+                        ids.append(mid)
+                        idxs.append(f)
+                        frames.append(encode_ppm(decoded[f]))
+                except ValueError:
+                    if not raw_chunk_fallback:
+                        continue
+                    n_frames = max(1, len(payload) // chunk)
+                    for f in range(0, n_frames, every_n):
+                        ids.append(mid)
+                        idxs.append(f)
+                        frames.append(bytes(payload[f * chunk:(f + 1) * chunk]))
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, FRAME_SCHEMA)

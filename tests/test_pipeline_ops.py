@@ -198,15 +198,77 @@ def test_multimodal_resize(spark):
     assert np.array_equal(resized, resize_nearest(img, 8, 4))
 
 
-def test_multimodal_frame_sampling(spark):
+def test_multimodal_frame_sampling_chunk_fallback(spark):
+    """Opaque payloads + raw_chunk_fallback: the round-2 pseudo-frame
+    plumbing (1:N cardinality) still works for non-AVI bytes."""
     media = spark.createDataFrame(
         [("v1", bytes(256 * 30)), ("v2", bytes(256 * 5))],
         "media_id string, payload binary",
     )
-    frames = multimodal.sample_frames(media, every_n=10).collect()
+    frames = multimodal.sample_frames(media, every_n=10,
+                                      raw_chunk_fallback=True).collect()
     v1 = [r["frame_idx"] for r in frames if r["media_id"] == "v1"]
     assert v1 == [0, 10, 20]
     assert all(len(r["frame"]) <= 256 for r in frames)
+
+
+def test_video_codec_roundtrip():
+    """encode_avi -> decode_avi is pixel-exact (uncompressed DIB), incl.
+    row padding (odd widths) and fps; corruption/compressed codecs raise
+    ValueError (decode_ok=False policy, never a crash)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.functions.video_codec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (5, 7, 3), dtype=np.uint8) for _ in range(4)]
+    payload = encode_avi(frames, fps=12)
+    fps, decoded = decode_avi(payload)
+    assert fps == 12 and len(decoded) == 4
+    for a, b in zip(frames, decoded):
+        assert np.array_equal(a, b)
+
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00AVI garbage")
+    with _pytest.raises(ValueError):
+        decode_avi(payload[:40])  # truncated
+    with _pytest.raises(ValueError):
+        decode_avi(b"not even riff")
+
+
+def test_multimodal_frame_sampling_real_avi(spark):
+    """REAL video path: synthetic AVI -> sample every 2nd frame -> PPM
+    frames whose PIXELS match the encoded source frames; non-AVI payloads
+    in the same batch are skipped (decode_ok policy)."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.functions.image_codec import decode_ppm
+    from tdr_draft_metadata_validator_spark.functions.video_codec import encode_avi
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (4, 6, 3), dtype=np.uint8) for _ in range(5)]
+    media = spark.createDataFrame(
+        [("vid", encode_avi(frames, fps=10)), ("junk", b"\x00" * 512)],
+        "media_id string, payload binary",
+    )
+    out = multimodal.sample_frames(media, every_n=2).collect()
+    got = {r["frame_idx"]: r["frame"] for r in out if r["media_id"] == "vid"}
+    assert sorted(got) == [0, 2, 4]
+    for idx, ppm in got.items():
+        assert np.array_equal(decode_ppm(bytes(ppm)), frames[idx])
+    assert not [r for r in out if r["media_id"] == "junk"]
+
+    # sampled frames feed the image pipeline directly
+    fdf = spark.createDataFrame(
+        [(f"vid-{r['frame_idx']}", bytes(r["frame"])) for r in out],
+        "media_id string, payload binary",
+    )
+    feats = multimodal.image_features(fdf, feature_dim=4).collect()
+    assert all(f["decode_ok"] for f in feats)
 
 
 def test_jaccard_df_cap_prunes_hot_shingles(spark):
