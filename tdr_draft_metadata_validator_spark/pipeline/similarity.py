@@ -104,6 +104,8 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    planes_mode: str = "auto",
+    codegen_term_limit: int = 4096,
 ) -> DataFrame:
     """-> (id, band, bucket) rows: signature split into ``bands`` chunks;
     vectors sharing any chunk land in the same bucket (higher recall than
@@ -112,6 +114,13 @@ def lsh_buckets(
     ``dim`` is required: Spark array schemas carry no element count, and
     inferring it with ``.first()`` would launch a driver-side job during
     plan construction — a hidden action we refuse to hide.
+
+    ``planes_mode`` mirrors :func:`ivf_topk`'s codebook modes: past
+    ``codegen_term_limit`` (= n_planes * dim) hyperplane coefficients,
+    the plane matrix rides as ONE broadcast array<array<double>> column
+    and the signature is a ``transform`` over it — O(1) plan size —
+    instead of n_planes * dim plan literals. Identical signatures either
+    way (same coefficients, same fold order).
     """
     if dim is None:
         raise ValueError(
@@ -119,7 +128,27 @@ def lsh_buckets(
             "do not carry a length and inferring it would run a driver job"
         )
     planes = hyperplanes(dim, n_planes, seed)
-    sig = lsh_signature(F.col(vec_col), planes)
+    if planes_mode == "auto":
+        planes_mode = "literal" if n_planes * dim <= codegen_term_limit else "broadcast"
+    if planes_mode == "literal":
+        base = emb
+        sig = lsh_signature(F.col(vec_col), planes)
+    elif planes_mode == "broadcast":
+        pl_df = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                [(planes,)], "__pl array<array<double>>"
+            )
+        )
+        base = emb.crossJoin(pl_df)
+        sig = F.array_join(
+            F.transform(
+                F.col("__pl"),
+                lambda p: F.when(_dot(F.col(vec_col), p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        )
+    else:
+        raise ValueError(f"unknown planes_mode {planes_mode!r}")
     per_band = n_planes // bands
     chunks = [
         F.struct(
@@ -128,7 +157,7 @@ def lsh_buckets(
         )
         for i in range(bands)
     ]
-    return emb.select(
+    return base.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(F.array(*chunks)).alias("c"),
@@ -273,13 +302,15 @@ def lsh_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    planes_mode: str = "auto",
 ) -> DataFrame:
     """Scale path for embedding near-dup: bucket equi-join -> exact cosine
     re-rank of candidates only. Same output shape as
     dedup.embedding_near_dups (recall < 1 by construction; bands/planes
-    trade recall for candidate volume). ``dim`` required (see
-    :func:`lsh_buckets`)."""
-    b = lsh_buckets(emb, n_planes, bands, seed, id_col, vec_col, dim=dim)
+    trade recall for candidate volume). ``dim`` required and
+    ``planes_mode`` passed through (see :func:`lsh_buckets`)."""
+    b = lsh_buckets(emb, n_planes, bands, seed, id_col, vec_col, dim=dim,
+                    planes_mode=planes_mode)
     a_side = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "bucket")
     b_side = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "bucket")
     cand = (

@@ -542,3 +542,24 @@ def test_ivf_broadcast_codebook_matches_literal_and_bounds_plan(spark, emb):
     plan256 = out._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan256) < 120_000
     assert out.count() >= 0
+
+
+def test_lsh_broadcast_planes_match_literal(spark, emb):
+    """planes_mode='broadcast' (O(1) plan size past the codegen limit)
+    produces the SAME buckets and near-dup pairs as literal mode."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    lit_pairs = sorted(
+        tuple(r) for r in similarity.lsh_near_dups(
+            e, threshold=0.3, n_planes=9, bands=3, dim=64, planes_mode="literal"
+        ).collect()
+    )
+    bc_pairs = sorted(
+        tuple(r) for r in similarity.lsh_near_dups(
+            e, threshold=0.3, n_planes=9, bands=3, dim=64, planes_mode="broadcast"
+        ).collect()
+    )
+    assert lit_pairs == bc_pairs and lit_pairs
+    # auto switches to broadcast past the term limit: plan stays bounded
+    big = similarity.lsh_buckets(e.limit(20), n_planes=128, bands=8, dim=64)
+    plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pl" in plan and len(plan) < 120_000
