@@ -503,6 +503,23 @@ def q_rollup(spark, sf):
     )
 
 
+def q_cube(spark, sf):
+    """Grouping sets, full cube: all four subtotal combinations of
+    (event_type, value-bucket) — the CUBE analog of q_rollup (§2.5)."""
+    ev = _t(spark, sf, "events")
+    bucket = (F.col("value") / 100).cast("int").alias("value_bucket")
+    return (
+        ev.select(F.col("event_type"), bucket)
+        .cube("event_type", "value_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("value_bucket").cast("string"), F.lit("ALL")).alias("value_bucket"),
+            "n",
+        )
+    )
+
+
 def q_pivot(spark, sf):
     """Pivot: per-user event-type counts as columns."""
     ev = _t(spark, sf, "events")
@@ -602,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "rollup": q_rollup,
+        "cube": q_cube,
         "pivot": q_pivot,
     }
 
@@ -1317,6 +1335,13 @@ def _oracle_sqls() -> dict[str, str]:
                    count(*) AS n
             FROM events
             GROUP BY ROLLUP (event_type, CAST(floor(value / 100) AS INT))
+        """,
+        "cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(CAST(CAST(floor(value / 100) AS INT) AS VARCHAR), 'ALL') AS value_bucket,
+                   count(*) AS n
+            FROM events
+            GROUP BY CUBE (event_type, CAST(floor(value / 100) AS INT))
         """,
         "pivot": """
             SELECT user_id,

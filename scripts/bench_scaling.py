@@ -126,7 +126,7 @@ def main():
     gen.stop()
 
     # decode-gate reuses the full-size clips table: at 240k rows the fast
-    # side runs >=20 s, so the ~1.5-2 s fixed scheduling/worker-startup
+    # side wall is many multiples of the ~1.5-2 s fixed scheduling/worker-startup
     # overhead is <10% of wall and the RAW ratio reflects the engine
     # (round-1 ran this at 60k rows where overhead was ~35% of the 5 s
     # fast side and depressed the raw ratio to 0.71-0.78)
@@ -155,9 +155,9 @@ what core-scaling can show. Each workload below isolates one regime.
 
 Zero-shuffle decodability validation (ref=None: Arrow decode pass + rule
 pass + duplicate agg + merge + metrics) over {decode['n_rows']:,}
-cache-resident WAV clips — sized so the FAST side runs >= 20 s and the
-~1.5-2 s fixed scheduling overhead is <10% of wall (the raw ratio, no
-overhead correction needed) — local[{decode['cores_small']}] vs
+cache-resident WAV clips — sized so the FAST side wall is ~7-10x the
+~1.5-2 s fixed scheduling/worker-startup overhead (the raw ratio, no
+overhead correction applied) — local[{decode['cores_small']}] vs
 local[{decode['cores_big']}].
 
 | | local[{decode['cores_small']}] (N) | local[{decode['cores_big']}] (4N) |

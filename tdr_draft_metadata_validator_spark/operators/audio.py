@@ -204,7 +204,15 @@ def audio_invariants(
     joined_fp = fp.where(F.col("decode_ok")).join(
         choose_join_side(ref_fp), on="clip_id", how="inner"
     )
-    mismatched = joined_fp.where(F.col("pcm_md5") != F.col("ref_md5")).select("clip_id")
+    # eager checkpoint: the residue key set feeds THREE consumers (the
+    # prefer_count sizing below + both payload semi-joins) — without it
+    # the fp-vs-ref_fp join would re-run for each. O(residue keys)
+    # storage, ~20 B/row.
+    mismatched = (
+        joined_fp.where(F.col("pcm_md5") != F.col("ref_md5"))
+        .select("clip_id")
+        .localCheckpoint(eager=True)
+    )
 
     # NOTE on md5(ref_pcm) semantics: the reference stores raw
     # little-endian PCM16, and stage 1 hashes the decoded samples in the

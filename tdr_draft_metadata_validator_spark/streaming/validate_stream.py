@@ -70,6 +70,39 @@ def violation_rate_stream(
     )
 
 
+def unknown_rows_stream(
+    clips_stream: DataFrame,
+    ref: DataFrame,
+    key: str = "clip_id",
+) -> DataFrame:
+    """J2's streaming face: referential-integrity check of arriving clips
+    against a STATIC reference table via a stream-static LEFT ANTI join
+    (supported in Structured Streaming; stateless — the static side is
+    re-read per micro-batch and picks up reference-table refreshes on
+    file sources).
+
+    At scale the static side is the per-snapshot reference KEY manifest
+    (~20 B/row), which Catalyst broadcasts when small, so each
+    micro-batch pays a key-pruned lookup, never a payload shuffle —
+    identical plan shape to the batch `unknown_rows`.
+
+    -> streaming (asset_id, error_key='unknown') violation rows (append).
+    The complement check (missing rows) is inherently a whole-table fact
+    and stays batch: a stream can never prove an expected row will NOT
+    arrive — that is the watermark-less limit of the semantics, not an
+    implementation gap.
+    """
+    ref_keys = ref.select(F.col(key))
+    return (
+        clips_stream.select(F.col(key))
+        .join(ref_keys, on=key, how="left_anti")
+        .select(
+            F.col(key).cast("string").alias("asset_id"),
+            F.lit("unknown").alias("error_key"),
+        )
+    )
+
+
 def dedup_stream(clips_stream: DataFrame, key: str = "clip_id",
                  watermark: str = "10 minutes") -> DataFrame:
     """Streaming uniqueness (A1's streaming face): state-backed
