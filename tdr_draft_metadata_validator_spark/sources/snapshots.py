@@ -87,3 +87,66 @@ def read_snapshot(
             f"snapshot {snapshot_id} not in manifest (have {sorted(by_id)})"
         )
     return spark.read.parquet(os.path.join(root, by_id[snapshot_id]["path"])), snapshot_id
+
+
+def snapshot_delta(
+    spark: SparkSession,
+    root: str,
+    since: int,
+    to: int | None = None,
+    key: str = "clip_id",
+    mode: str = "appended",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Incremental read: the rows that need (re)validation between two
+    snapshots — the steady-state workflow at 10^12 rows, where a daily
+    batch appends a sliver and revalidating the whole table is absurd
+    (Iceberg's incremental/CDC read; same contract over the filesystem
+    layer).
+
+    -> (delta_rows, removed_keys, resolved_to_id)
+
+    - ``mode="appended"`` (default, the append-mostly case): delta = rows
+      of ``to`` whose KEY is absent from ``since`` — one key-pruned
+      left-anti join, payload columns never shuffle (~20 B/row).
+    - ``mode="changed"``: additionally catches UPDATED rows — both sides
+      project (key, xxhash64(*non-key columns)) and the anti-join runs on
+      (key, row_hash). Costs a full scan of both snapshots' columns (the
+      hash must read them) but still shuffles only 16 B/row.
+
+    ``removed_keys`` = keys present in ``since`` but gone from ``to`` —
+    the caller retires their verdicts/violations (dynamic partition
+    overwrite handles this when the output is partition-keyed).
+
+    The ENGINE contract for an incremental run mirrors --resume: the
+    reference side must be semi-filtered to the delta's keys, or
+    missing-rows would re-flag every already-verified row
+    (validate.py --since-snapshot wires this).
+    """
+    from pyspark.sql import functions as F
+
+    cur, to_sid = read_snapshot(spark, root, to)
+    base, _ = read_snapshot(spark, root, since)
+    if mode == "appended":
+        delta = cur.join(base.select(key), on=key, how="left_anti")
+    elif mode == "changed":
+        def hashed(df):
+            others = [c for c in df.columns if c != key]
+            return df.select(F.col(key), F.xxhash64(*others).alias("__rh"))
+
+        # anti-join on (key, row_hash): a row is in the delta unless its
+        # (key, hash) pair existed identically in the base snapshot
+        delta = cur.join(
+            hashed(base).withColumnRenamed("__rh", "__base_rh"), on=key, how="left"
+        )
+        others = [c for c in cur.columns if c != key]
+        delta = (
+            delta.where(
+                F.col("__base_rh").isNull()
+                | (F.xxhash64(*[F.col(c) for c in others]) != F.col("__base_rh"))
+            )
+            .drop("__base_rh")
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}; 'appended' or 'changed'")
+    removed = base.select(key).join(cur.select(key), on=key, how="left_anti")
+    return delta, removed, to_sid

@@ -71,3 +71,60 @@ def test_cli_snapshot_lineage(spark, tmp_path, capsys):
     assert rc1 == 0 and report1["status"] == "success"
     m1 = spark.read.parquet(f"{tmp_path}/ckpt1/lineage")
     assert {r["snapshot_id"] for r in m1.select("snapshot_id").distinct().collect()} == {1}
+
+
+def test_snapshot_delta_appended_and_changed(spark, tmp_path):
+    """Incremental read: appended mode = new keys only; changed mode also
+    catches content updates; removed keys reported."""
+    from tdr_draft_metadata_validator_spark.sources.snapshots import snapshot_delta
+
+    root = str(tmp_path / "tbl")
+    v1 = datagen.clips_batch(np.arange(10))
+    commit_snapshot(datagen.clips_df(spark, v1), root)               # snap 1
+    v2 = datagen.clips_batch(np.arange(2, 14))                       # drop 0-1, add 10-13
+    v2.loc[v2.index[v2["clip_id"] == datagen.clip_id_of(5)], "sr_hz"] = 22050
+    commit_snapshot(datagen.clips_df(spark, v2), root)               # snap 2
+
+    delta, removed, to_sid = snapshot_delta(spark, root, since=1)
+    assert to_sid == 2
+    assert {r["clip_id"] for r in delta.select("clip_id").collect()} == {
+        datagen.clip_id_of(i) for i in (10, 11, 12, 13)
+    }
+    assert {r["clip_id"] for r in removed.collect()} == {
+        datagen.clip_id_of(0), datagen.clip_id_of(1)
+    }
+
+    delta_c, _, _ = snapshot_delta(spark, root, since=1, mode="changed")
+    got = {r["clip_id"] for r in delta_c.select("clip_id").collect()}
+    assert got == {datagen.clip_id_of(i) for i in (10, 11, 12, 13)} | {
+        datagen.clip_id_of(5)  # content change caught by the row hash
+    }
+
+
+def test_cli_incremental_since_snapshot(spark, tmp_path, capsys):
+    """--since-snapshot validates ONLY the delta (metrics row count = new
+    rows), finds the violation hiding in it, and semi-filters the
+    reference so missing-rows stays quiet for already-verified keys."""
+    root = str(tmp_path / "tbl")
+    commit_snapshot(
+        datagen.clips_df(spark, datagen.clips_batch(np.arange(30))), root
+    )                                                                # snap 1
+    v2 = datagen.clips_batch(np.arange(40))                          # +10 rows
+    v2.loc[35, "sr_hz"] = 12345                                      # bad NEW row
+    commit_snapshot(datagen.clips_df(spark, v2), root)               # snap 2
+    ref = str(tmp_path / "ref.parquet")
+    datagen.ref_df(spark, datagen.ref_batch(np.arange(40))).write.parquet(ref)
+
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "--table", f"snap:{root}", "--ref", ref,
+        "--since-snapshot", "1",
+        "--output", out, "--run-id", "inc1", "--no-audio",
+        "--partitions", "8",
+    ])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1  # the new bad row fails the run
+    assert captured["violation_assets"] == 1
+    doc = json.load(open(f"{out}/error-file.json"))
+    assets = {v["assetId"] for v in doc["validationErrors"]}
+    assert assets == {datagen.clip_id_of(35)}

@@ -36,6 +36,16 @@ def main(argv=None):
     p.add_argument("--consignment-id", default="00000000-0000-0000-0000-000000000000")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-id", type=int)
+    p.add_argument("--since-snapshot", type=int,
+                   help="incremental run (snap: tables only): validate only "
+                        "rows whose key is new since this snapshot id — the "
+                        "steady-state shape at 10^12 rows; the reference side "
+                        "is semi-filtered to the delta's keys like --resume")
+    p.add_argument("--delta-mode", choices=("appended", "changed"),
+                   default="appended",
+                   help="incremental delta detection: 'appended' = new keys "
+                        "only (key anti-join, ~20 B/row shuffle); 'changed' "
+                        "= also re-validate rows whose content hash changed")
     p.add_argument("--ref-fingerprints",
                    help="precomputed reference fingerprint manifest "
                         "(operators.audio.ref_fingerprints output); rebuilt "
@@ -100,8 +110,29 @@ def main(argv=None):
         print(f"pinned to snapshot {snapshot_id}", file=sys.stderr)
     else:
         clips = read_clips(spark, args.table)
+    if args.since_snapshot is not None:
+        if not args.table.startswith("snap:"):
+            print("error: --since-snapshot requires a snap:<root> table "
+                  "(snapshot manifests define the delta)", file=sys.stderr)
+            return 2
+        from tdr_draft_metadata_validator_spark.sources.snapshots import snapshot_delta
+
+        clips, _removed, snapshot_id = snapshot_delta(
+            spark, args.table[len("snap:"):], args.since_snapshot,
+            to=args.snapshot_id, mode=args.delta_mode,
+        )
+        print(f"incremental: validating delta since snapshot "
+              f"{args.since_snapshot} (to {snapshot_id}, {args.delta_mode})",
+              file=sys.stderr)
+
     ref = read_ref_clips(spark, args.ref) if args.ref else None
     ref_full = ref
+    if ref is not None and args.since_snapshot is not None:
+        # same contract as --resume: the reference shrinks to the delta's
+        # work list, or missing-rows re-flags every already-verified row
+        ref = ref.join(
+            clips.select("clip_id"), on="clip_id", how="left_semi"
+        )
 
     # drift is a RUN-LEVEL, whole-table fact: keep an unfiltered handle so
     # a --resume run computes PSI/KS over the same distribution as the
