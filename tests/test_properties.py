@@ -202,3 +202,51 @@ def test_logical_partition_parallelism_independent(spark, keys):
     m1, m8 = lp(df1), lp(df8)
     assert m1 == m8
     assert all(0 <= p < 64 for p in m1.values())
+
+
+# ---------------------------------------------------------------------------
+# connected components: star method vs an independent union-find oracle
+# ---------------------------------------------------------------------------
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1, max_size=60,
+    ),
+    st.booleans(),
+)
+def test_star_components_match_union_find(spark, edges, use_star):
+    """Both CC methods must equal a pure-Python union-find ground truth
+    (min-id representative) on arbitrary random graphs."""
+    from tdr_draft_metadata_validator_spark.pipeline import dedup
+
+    edges = [(f"{a:02d}", f"{b:02d}") for a, b in edges if a != b]
+    if not edges:
+        return
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    truth = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    method = "star" if use_star else "minlabel"
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.near_dup_components(pairs, method=method, max_iter=40).collect()
+    }
+    assert got == truth
