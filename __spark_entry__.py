@@ -400,6 +400,50 @@ def q_hash_split(spark, sf):
     return text.hash_split(docs, lane="md5").select("doc_id", "split")
 
 
+def q_redact_pii(spark, sf):
+    """PII scrubbing: deterministic PII-ish spans are appended to each
+    document (same expression on both engines), then redacted with the
+    chained regexp_replace pass; output = per-type hit counts + md5 of
+    the scrubbed text (compact value check of the full replacement)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at u"), F.col("doc_id").cast("string"),
+            F.lit("@ex-"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com or +1 555-000-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = text.redact_pii(aug)
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def q_extract_domains(spark, sf):
+    """URL/domain extraction: deterministic URLs are appended (same
+    expression both engines); output = (id, domain) rows — the input of
+    the per-domain corpus-provenance stats."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://W"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.org/p/"), F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".net:8080/x"),
+        ).alias("text"),
+    )
+    return text.extract_domains(aug)
+
+
 def q_minhash_signatures(spark, sf):
     """MinHash signature lanes (md5-based, engine-portable)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -607,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_star": q_near_dup_components_star,
         "contamination": q_contamination,
         "hash_split": q_hash_split,
+        "redact_pii": q_redact_pii,
+        "extract_domains": q_extract_domains,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1194,6 +1240,43 @@ def _oracle_sqls() -> dict[str, str]:
                      ('0x' || substr(md5('13' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
               FROM documents
             )
+        """,
+        "redact_pii": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' reach me at u' || CAST(doc_id AS VARCHAR) ||
+                     '@ex-' || CAST(doc_id % 5 AS VARCHAR) ||
+                     '.com or +1 555-000-' ||
+                     lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\+?\d[\d\-\s]{7,}\d')) AS n_phone,
+                   len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\+?\d[\d\-\s]{7,}\d', '<PHONE>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g')) AS redacted_md5
+            FROM aug
+        """,
+        "extract_domains": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' see https://W' || CAST(doc_id % 7 AS VARCHAR) ||
+                     '.Example.org/p/' || CAST(doc_id AS VARCHAR) ||
+                     ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+                     '.net:8080/x' AS text
+              FROM documents WHERE doc_id < 300
+            ),
+            u AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     unnest(regexp_extract_all(text, 'https?://[^\s"''<>]+')) AS url
+              FROM aug
+            )
+            SELECT id, lower(regexp_extract(url, 'https?://([^/:\s]+)', 1)) AS domain
+            FROM u
+            WHERE lower(regexp_extract(url, 'https?://([^/:\s]+)', 1)) != ''
         """,
         "minhash_signatures": _minhash_sql(4),
         "minhash_lsh_candidates": _minhash_lsh_sql(16, 4),

@@ -161,3 +161,64 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
     return docs.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + URL/domain analysis (training-data hygiene ops)
+# ---------------------------------------------------------------------------
+
+# deliberately conservative patterns: a corpus scrubber prefers false
+# positives (over-redaction) to leaking contact details into a training set
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\-\s]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Scrub PII-ish spans, replacing each with ``<TYPE>`` — one chained
+    ``regexp_replace`` projection (whole-stage codegen, no UDF, one scan),
+    plus a per-type hit count so the pipeline can quarantine documents
+    that are mostly PII instead of silently keeping husks.
+    """
+    patterns = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select("*", *counts, red.alias(out_col))
+
+
+def extract_domains(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, domain) one row per URL occurrence: extract http(s) URLs,
+    explode, reduce to the registrable-ish host (lowercased, port and
+    path stripped). Feeds per-domain corpus stats (the standard
+    provenance/quality signal); a groupBy(domain) after this is the
+    domain-frequency table.
+    """
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://[^\s\"'<>]+"), 0
+    )
+    host = F.lower(
+        F.regexp_extract(F.col("url"), r"https?://([^/:\s]+)", 1)
+    )
+    return (
+        docs.select(F.col(id_col).cast("string").alias("id"), F.explode(urls).alias("url"))
+        .select("id", host.alias("domain"))
+        .where(F.col("domain") != "")
+    )

@@ -563,3 +563,33 @@ def test_lsh_broadcast_planes_match_literal(spark, emb):
     big = similarity.lsh_buckets(e.limit(20), n_planes=128, bands=8, dim=64)
     plan = big._jdf.queryExecution().optimizedPlan().toString()
     assert "__pl" in plan and len(plan) < 120_000
+
+
+def test_redact_pii_and_extract_domains(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.com or call +1 555-123-4567 now"),
+        (2, "server at 10.0.42.7 hosts https://Docs.Example.org/a and http://cdn.net:8080/x"),
+        (3, "nothing sensitive here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    red = {r["doc_id"]: r for r in text.redact_pii(d).collect()}
+    assert red[1]["n_email"] == 1 and red[1]["n_phone"] == 1
+    assert "<EMAIL>" in red[1]["text_redacted"] and "<PHONE>" in red[1]["text_redacted"]
+    assert "bob.smith" not in red[1]["text_redacted"]
+    assert red[2]["n_ipv4"] == 1 and "<IPV4>" in red[2]["text_redacted"]
+    assert red[3]["text_redacted"] == rows[2][1]
+
+    doms = {(r["id"], r["domain"]) for r in text.extract_domains(d).collect()}
+    assert doms == {("2", "docs.example.org"), ("2", "cdn.net")}
+
+
+def test_production_overrides_contract(spark):
+    """Every production override shadows a real queries() entry and runs
+    (bench contract): same key set subset, callable, non-failing plan."""
+    import __spark_entry__ as e
+
+    qs, po = e.queries(), e.production_overrides()
+    assert set(po) <= set(qs)
+    for name, fn in po.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name
