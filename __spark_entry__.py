@@ -444,6 +444,26 @@ def q_extract_domains(spark, sf):
     return text.extract_domains(aug)
 
 
+def q_pack_sequences(spark, sf):
+    """LLM batch packing: contiguous first-fit token bins within hashed
+    packing groups (window cumsum — n_groups-way parallel; md5 lane for
+    oracle parity, production uses xxhash64)."""
+    docs = _t(spark, sf, "documents")
+    return text.pack_sequences(docs, budget_tokens=200, n_groups=8, lane="md5")
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling by key-hash bucket: en 50% /
+    de 10%; pure function of the key, repartition-invariant."""
+    docs = _t(spark, sf, "documents")
+    labeled = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    return text.stratified_sample(
+        labeled, {"en": 0.5, "de": 0.1}, "lang", lane="md5"
+    ).select("doc_id", "lang")
+
+
 def q_minhash_signatures(spark, sf):
     """MinHash signature lanes (md5-based, engine-portable)."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
@@ -653,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "redact_pii": q_redact_pii,
         "extract_domains": q_extract_domains,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1277,6 +1299,29 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT id, lower(regexp_extract(url, 'https?://([^/:\s]+)', 1)) AS domain
             FROM u
             WHERE lower(regexp_extract(url, 'https?://([^/:\s]+)', 1)) != ''
+        """,
+        "pack_sequences": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     CASE WHEN {_NORM} IS NULL OR {_NORM} = '' THEN 0
+                          ELSE len(string_split({_NORM}, ' ')) END AS n_tokens,
+                     CAST({_LANE.format(seed="'17'", x="CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS grp
+              FROM documents
+            )
+            SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, grp AS "group",
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY grp ORDER BY id)
+                               - n_tokens) / 200.0) AS BIGINT) AS bin
+            FROM d
+        """,
+        "stratified_sample": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'en' ELSE 'de' END AS lang,
+                     {_LANE.format(seed="'29'", x="CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+              FROM documents
+            )
+            SELECT doc_id, lang FROM d
+            WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 0 END
         """,
         "minhash_signatures": _minhash_sql(4),
         "minhash_lsh_candidates": _minhash_lsh_sql(16, 4),

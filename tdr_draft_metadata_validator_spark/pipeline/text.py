@@ -7,7 +7,7 @@ the hot path) so they fold into a single projection over one scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import normalize_text
 
@@ -222,3 +222,89 @@ def extract_domains(
         .select("id", host.alias("domain"))
         .where(F.col("domain") != "")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-batch prep: sequence packing + stratified sampling
+# ---------------------------------------------------------------------------
+
+def _key_lane(key_col: str, seed: int, lane: str):
+    if lane == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}\x1f"), F.col(key_col).cast("string"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("long")
+    return F.xxhash64(F.lit(seed), F.col(key_col).cast("string"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_groups: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 17,
+    lane: str = "xxhash64",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins (LLM batch
+    packing): deterministic contiguous first-fit — docs fill a bin in id
+    order until the budget is crossed; the crossing doc starts the next
+    bin (bins can overflow by at most one doc, the standard contiguous-
+    packing trade that keeps the op a pure window expression).
+
+    Scale shape: packing is inherently sequential, so a single global
+    cumsum would serialize on one task. Instead docs are first hashed
+    into ``n_groups`` independent packing GROUPS (deterministic key
+    lane), and the cumulative sum windows per group — n_groups-way
+    parallel, one shuffle, and bin ids (group, bin) are stable under any
+    input partitioning. At 10^12 rows pick n_groups ~ cluster cores.
+
+    -> (id, n_tokens, group, bin). ``lane="md5"`` for oracle parity.
+    """
+    w = Window.partitionBy("group").orderBy("id")
+    toks = token_count(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        toks.cast("long").alias("n_tokens"),
+        F.pmod(_key_lane(id_col, seed, lane), F.lit(n_groups)).cast("int").alias("group"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "id", "n_tokens", "group",
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long").alias("bin"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    seed: int = 29,
+    lane: str = "xxhash64",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a key iff its hash bucket
+    falls under the stratum's fraction — a pure function of (key, seed),
+    so the sample is REPRODUCIBLE across runs, cluster sizes, and
+    repartitioning (df.sampleBy is seed-and-partitioning dependent), and
+    composable with :func:`hash_split` (different seeds -> independent).
+
+    One projection + filter, no shuffle. Strata absent from
+    ``fractions`` fall back to ``default_fraction``.
+    """
+    buckets = 1_000_000
+    bucket = F.pmod(_key_lane(key_col, seed, lane), F.lit(buckets))
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col).cast("string") == stratum
+        thr = F.lit(int(round(frac * buckets)))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        expr.otherwise(F.lit(int(round(default_fraction * buckets))))
+        if expr is not None
+        else F.lit(int(round(default_fraction * buckets)))
+    )
+    return docs.where(bucket < thr_col)

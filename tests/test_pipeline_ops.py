@@ -593,3 +593,88 @@ def test_production_overrides_contract(spark):
     for name, fn in po.items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_pack_sequences_budget_and_stability(spark, docs):
+    """Contiguous first-fit packing: within every (group, bin) the tokens
+    before the last doc fit the budget (overflow <= one doc), bins are
+    dense from 0 per group, and assignment is repartition-invariant."""
+    budget = 200
+    out = text.pack_sequences(docs, budget_tokens=budget, n_groups=8)
+    again = text.pack_sequences(docs.repartition(13), budget_tokens=budget, n_groups=8)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+    rows = out.collect()
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r["group"], r["bin"]), []).append(r)
+    for (_g, _b), members in by_bin.items():
+        members.sort(key=lambda r: r["id"])
+        total = sum(r["n_tokens"] for r in members)
+        # all but the overflow doc fit the budget
+        assert total - members[-1]["n_tokens"] < budget
+    # bins dense per group
+    for g in {r["group"] for r in rows}:
+        bins = sorted({r["bin"] for r in rows if r["group"] == g})
+        assert bins == list(range(len(bins)))
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, docs):
+    """Per-stratum fractions hit within tolerance; the sample is a pure
+    function of the key (stable under repartitioning); absent strata
+    fall back to default_fraction=0."""
+    labeled = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    fr = {"en": 0.5, "de": 0.1}
+    s1 = text.stratified_sample(labeled, fr, "lang")
+    s2 = text.stratified_sample(labeled.repartition(11), fr, "lang")
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    tot = {r["lang"]: r["n"] for r in labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(got["en"] / tot["en"] - 0.5) < 0.1
+    assert abs(got["de"] / tot["de"] - 0.1) < 0.06
+    # stratum not in fractions -> dropped entirely (default 0)
+    other = labeled.withColumn("lang", F.lit("fr"))
+    assert text.stratified_sample(other, fr, "lang").count() == 0
+
+
+def test_audio_quality_features(spark):
+    """Known signals -> known features: a -9 dBFS sine has the analytic
+    RMS and zcr ~= 2f/sr; rails-clipped square -> clip_ratio ~1; silence
+    -> silence_ratio 1 and -inf RMS; junk bytes -> decode_ok=False."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import encode_wav_pcm16
+    from tdr_draft_metadata_validator_spark.pipeline.audio_features import (
+        audio_quality_features,
+    )
+
+    sr = 16000
+    t = np.arange(sr)  # 1 s
+    sine = (16384 * np.sin(2 * np.pi * 1000 * t / sr)).astype(np.int16)
+    square = np.where(np.sin(2 * np.pi * 100 * t / sr) >= 0, 32767, -32767).astype(np.int16)
+    silence = np.zeros(sr, dtype=np.int16)
+    rows = [
+        ("sine", encode_wav_pcm16(sine, sr), "pcm_s16le"),
+        ("square", encode_wav_pcm16(square, sr), "pcm_s16le"),
+        ("silence", encode_wav_pcm16(silence, sr), "pcm_s16le"),
+        ("junk", b"\x01\x02\x03", "pcm_s16le"),
+    ]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r["clip_id"]: r for r in audio_quality_features(clips).collect()}
+
+    s = got["sine"]
+    assert s["decode_ok"] and abs(s["dur_s"] - 1.0) < 1e-9
+    # RMS of A*sin = A/sqrt(2): 20*log10(16384/sqrt(2)/32768) ~= -9.03 dB
+    assert abs(s["rms_db"] - (-9.03)) < 0.1
+    assert abs(s["zcr"] - 2 * 1000 / sr) < 0.01
+    assert s["clip_ratio"] == 0.0
+
+    q = got["square"]
+    assert q["clip_ratio"] > 0.99 and q["silence_ratio"] == 0.0
+
+    z = got["silence"]
+    assert z["silence_ratio"] == 1.0 and z["rms_db"] == float("-inf")
+
+    assert got["junk"]["decode_ok"] is False and got["junk"]["rms_db"] is None
