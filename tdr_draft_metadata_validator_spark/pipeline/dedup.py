@@ -401,22 +401,23 @@ def near_dup_components(
             .groupBy("a")
             .agg(F.min("component").alias("nc"))
         )
+        # the changed flag is computed INSIDE the round's projection and
+        # rides the checkpoint, so the convergence probe is a filter over
+        # checkpointed data — not a second labels-vs-labels join per round
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+        )
         new_labels = (
             labels.join(neigh, labels["id"] == neigh["a"], "left")
             .select(
                 labels["id"],
-                F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.select("id", "component")
         rounds += 1
         if not changed:
             break
