@@ -217,3 +217,53 @@ def run_to_memory_sink(stream_df: DataFrame, name: str = "violations_out"):
     )
     q.processAllAvailable()
     return q
+
+
+def drift_monitor_stream(
+    clips_stream: DataFrame,
+    profile_df: DataFrame,
+    consignment_id: str,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.2,
+    checkpoint_dir: str | None = None,
+):
+    """A6's streaming face: per-MICRO-BATCH distribution drift against a
+    materialized reference profile (``stats.build_ref_profile`` output —
+    numeric and categorical rows alike; the reference table itself is
+    never touched, matching the batch warm path).
+
+    Pattern: ``foreachBatch`` — windowed PSI needs arbitrary per-batch
+    aggregation + a driver-side O(bins) comparison, which the streaming
+    agg surface can't express but a batch callback can. Each micro-batch
+    appends its breaching columns (if any) to an in-memory violations
+    log tagged with the batch id; production swaps the sink for a
+    partitioned table write inside the same callback.
+
+    Returns (query, violations_log) — violations_log is a list of
+    (batch_id, column, psi, ks) tuples the caller/monitor consumes.
+    Micro-batch drift is a WINDOWED signal: a small batch drifts noisily,
+    so thresholds should be looser than the run-level batch check, or
+    the caller should aggregate consecutive breaches before alerting.
+    """
+    from ..operators.stats import drift_check, drift_check_categorical, load_profiles
+
+    profiles = load_profiles(profile_df)
+    violations_log: list[tuple[int, str, float, float]] = []
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for col, prof in profiles.items():
+            if col not in batch_df.columns:
+                continue
+            if prof.kind == "categorical":
+                rep = drift_check_categorical(batch_df, None, col, profile=prof)
+            else:
+                rep = drift_check(batch_df, None, col, profile=prof)
+            if rep.breaches(psi_threshold, ks_threshold):
+                violations_log.append((batch_id, col, rep.psi, rep.ks))
+
+    writer = clips_stream.writeStream.foreachBatch(on_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start(), violations_log
