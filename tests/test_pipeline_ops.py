@@ -678,3 +678,58 @@ def test_audio_quality_features(spark):
     assert z["silence_ratio"] == 1.0 and z["rms_db"] == float("-inf")
 
     assert got["junk"]["decode_ok"] is False and got["junk"]["rms_db"] is None
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """The full LLM-corpus recipe composes: junk filtered, PII scrubbed,
+    exact + near dups collapsed to one representative, contaminated doc
+    dropped, every survivor split + packed."""
+    from pyspark.sql import functions as F
+
+    from tdr_draft_metadata_validator_spark.pipeline.recipes import (
+        CorpusPrepConfig,
+        prepare_training_corpus,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "under the old oak tree near the river all afternoon long")
+    rows = [
+        (1, base),
+        (2, base),                                     # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),           # near dup of 1
+        (4, "completely different report about spark shuffle tuning and "
+            "partition sizing for large scale joins in production systems"),
+        (5, "!!! ??? ,,, ;;;"),                        # junk -> quality filter
+        (6, "contact me at alice@example.com about the quick brown fox "
+            "jumps over the lazy dog and then naps under the old oak tree "
+            "near the river"),                          # PII + near dup of 1
+        (7, "an entirely separate essay on mu law companding and audio "
+            "codecs with sample rates and bit depths discussed at length"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # eval doc heavily overlapping doc 7 -> decontamination drops 7
+    ev = spark.createDataFrame(
+        [(100, "an entirely separate essay on mu law companding and audio "
+               "codecs with sample rates and bit depths")],
+        "doc_id int, text string",
+    )
+    cfg = CorpusPrepConfig(
+        jaccard_threshold=0.5, minhash_hashes=16, minhash_bands=8,
+        shingle_n=1, pack_budget_tokens=30, pack_groups=2,
+    )
+    out = prepare_training_corpus(docs, ev, cfg).collect()
+    by_id = {r["id"]: r for r in out}
+
+    # junk (5) gone; contaminated (7) gone; of {1,2,3,6} only min id 1 kept
+    assert set(by_id) == {"1", "4"}
+    assert "<EMAIL>" not in by_id["1"]["text_redacted"]  # doc 6 dropped, 1 clean
+    assert by_id["1"]["split"] in ("train", "val", "test")
+    assert by_id["1"]["bin"] >= 0 and by_id["1"]["n_tokens"] > 0
+
+    # PII scrub visible when the PII doc survives on its own
+    solo = prepare_training_corpus(
+        docs.where(F.col("doc_id").isin(4, 6)), None, cfg
+    ).collect()
+    solo_by_id = {r["id"]: r for r in solo}
+    assert "<EMAIL>" in solo_by_id["6"]["text_redacted"]
+    assert "alice@example.com" not in solo_by_id["6"]["text_redacted"]
