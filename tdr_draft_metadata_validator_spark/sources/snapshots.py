@@ -150,3 +150,59 @@ def snapshot_delta(
         raise ValueError(f"unknown mode {mode!r}; 'appended' or 'changed'")
     removed = base.select(key).join(cur.select(key), on=key, how="left_anti")
     return delta, removed, to_sid
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str = "clip_id",
+    delete_keys: DataFrame | None = None,
+) -> int:
+    """UPSERT (+ optional deletes) as a new immutable snapshot — the
+    MERGE INTO analog over the filesystem layer (Iceberg/Delta
+    copy-on-write semantics): next = (base minus updated/deleted keys)
+    union updates. One key anti-join + one union; the base payload is
+    rewritten once (copy-on-write — at 10^12 rows the real table format
+    does this per-FILE via merge-on-read deletes, which is exactly why
+    production uses Iceberg; the SNAPSHOT SEMANTICS pinned readers rely
+    on are identical here).
+
+    Readers pinned to earlier snapshots are untouched (immutability);
+    the new snapshot id is returned and becomes the unpinned default.
+    """
+    base, _sid = read_snapshot(spark, root)
+    drop = updates.select(key)
+    if delete_keys is not None:
+        drop = drop.unionByName(delete_keys.select(key))
+    survivors = base.join(drop, on=key, how="left_anti")
+    merged = survivors.unionByName(updates.select(base.columns))
+    return commit_snapshot(merged, root)
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """Iceberg-maintenance analog: drop all but the newest ``keep_last``
+    snapshots — data directories deleted, manifest trimmed atomically
+    (temp file + rename). Returns the expired snapshot ids.
+
+    Pinned readers of an expired snapshot fail on their NEXT read — the
+    same contract as Iceberg's expire_snapshots; retention policy is the
+    operator's promise to long-running jobs, which is why the default
+    keeps more than one.
+    """
+    import shutil
+
+    snaps = list_snapshots(root)
+    if len(snaps) <= keep_last:
+        return []
+    expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+    # publish the trimmed manifest FIRST (atomic), then delete data: a
+    # crash between the two leaves orphan directories, never a manifest
+    # pointing at missing data
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(kept, fh, indent=2)
+    os.replace(tmp, _manifest_path(root))
+    for s in expired:
+        shutil.rmtree(os.path.join(root, s["path"]), ignore_errors=True)
+    return [s["snapshot_id"] for s in expired]

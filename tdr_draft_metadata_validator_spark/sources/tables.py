@@ -13,13 +13,38 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..models import CLIPS_SCHEMA, REF_CLIPS_SCHEMA
 
 
-def read_clips(spark: SparkSession, path: str) -> DataFrame:
-    """Primary source: parquet (Iceberg-shaped) clips table."""
-    return spark.read.parquet(path)
+_FORMATS = ("parquet", "orc", "json", "avro")
 
 
-def read_ref_clips(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def _read_table(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown table format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read
+    if fmt == "json":
+        # self-describing columnar formats carry their schema; JSON does
+        # not — inference would silently type every field from a sample
+        # AND cannot express binary, so the clips schema is applied
+        # explicitly (bytes ride as base64 strings per Spark's JSON
+        # binary convention and decode on read)
+        reader = reader.schema(schema or CLIPS_SCHEMA)
+    df = reader.format(fmt).load(path)
+    if fmt == "avro" and df is None:  # pragma: no cover - never None; doc only
+        raise NotImplementedError
+    return df
+
+
+def read_clips(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Primary source: the clips table in any self-describing columnar
+    format Spark ships (parquet default; orc identical; avro needs the
+    external spark-avro jar — absent here, clear error from Spark; json
+    gets the explicit clips schema applied)."""
+    return _read_table(spark, path, fmt)
+
+
+def read_ref_clips(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    from ..models import REF_CLIPS_SCHEMA as _ref_schema
+
+    return _read_table(spark, path, fmt, schema=_ref_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -183,3 +183,31 @@ def test_csv_clean_path_reuses_parse_cache(spark, tmp_path):
         assert df.count() == 1
     finally:
         spark.catalog.clearCache()
+
+
+def test_multi_format_sources_orc_and_json(spark, tmp_path):
+    """read_clips handles orc (self-describing, binary-safe) and json
+    (explicit schema applied; bytes ride base64) with identical rows."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark import datagen
+    from tdr_draft_metadata_validator_spark.sources.tables import read_clips
+
+    df = datagen.clips_df(spark, datagen.clips_batch(np.arange(6)))
+    orc_p, json_p = str(tmp_path / "c.orc"), str(tmp_path / "c.json")
+    df.write.format("orc").save(orc_p)
+    df.write.format("json").save(json_p)
+
+    via_orc = read_clips(spark, orc_p, fmt="orc")
+    via_json = read_clips(spark, json_p, fmt="json")
+    base = {r["clip_id"]: r for r in df.collect()}
+    for got in (via_orc, via_json):
+        rows = {r["clip_id"]: r for r in got.collect()}
+        assert set(rows) == set(base)
+        for cid, r in rows.items():
+            assert bytes(r["bytes"]) == bytes(base[cid]["bytes"])
+            assert r["sr_hz"] == base[cid]["sr_hz"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_clips(spark, orc_p, fmt="xml")

@@ -128,3 +128,50 @@ def test_cli_incremental_since_snapshot(spark, tmp_path, capsys):
     doc = json.load(open(f"{out}/error-file.json"))
     assets = {v["assetId"] for v in doc["validationErrors"]}
     assert assets == {datagen.clip_id_of(35)}
+
+
+def test_merge_snapshot_upsert_delete_and_pinning(spark, tmp_path):
+    """MERGE-INTO analog: updates replace rows by key, deletes remove,
+    untouched rows survive; pinned readers of the pre-merge snapshot see
+    the original data (copy-on-write immutability)."""
+    from tdr_draft_metadata_validator_spark.sources.snapshots import merge_snapshot
+
+    root = str(tmp_path / "tbl")
+    v1 = datagen.clips_batch(np.arange(10))
+    commit_snapshot(datagen.clips_df(spark, v1), root)                # snap 1
+
+    upd = datagen.clips_batch(np.arange(3, 5))
+    upd["sr_hz"] = 22050                                              # update 3,4
+    dels = spark.createDataFrame([(datagen.clip_id_of(9),)], "clip_id string")
+    sid = merge_snapshot(spark, root, datagen.clips_df(spark, upd),
+                         delete_keys=dels)
+    assert sid == 2
+
+    cur, _ = read_snapshot(spark, root)
+    rows = {r["clip_id"]: r for r in cur.collect()}
+    assert len(rows) == 9                                             # 10 - 1 delete
+    assert rows[datagen.clip_id_of(3)]["sr_hz"] == 22050
+    assert datagen.clip_id_of(9) not in rows
+    assert rows[datagen.clip_id_of(0)]["sr_hz"] == v1.loc[0, "sr_hz"]
+
+    pinned, _ = read_snapshot(spark, root, snapshot_id=1)
+    assert pinned.count() == 10                                       # untouched
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """Expiry trims the manifest atomically and deletes expired data;
+    the kept snapshots still read; expired ids error clearly."""
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.sources.snapshots import expire_snapshots
+
+    root = str(tmp_path / "tbl")
+    for n in (5, 6, 7, 8):
+        commit_snapshot(datagen.clips_df(spark, datagen.clips_batch(np.arange(n))), root)
+    assert expire_snapshots(root, keep_last=2) == [1, 2]
+    assert [s["snapshot_id"] for s in list_snapshots(root)] == [3, 4]
+    df, sid = read_snapshot(spark, root, snapshot_id=3)
+    assert sid == 3 and df.count() == 7
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, root, snapshot_id=1)
+    assert expire_snapshots(root, keep_last=5) == []                  # no-op

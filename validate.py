@@ -30,6 +30,10 @@ def main(argv=None):
                         "snap:<root> (filesystem snapshot layer — pin with "
                         "--snapshot-id, defaults to latest)")
     p.add_argument("--ref", help="reference table path")
+    p.add_argument("--table-format", default="parquet",
+                   choices=("parquet", "orc", "json", "avro"),
+                   help="on-disk format for --table/--ref plain-path mode "
+                        "(iceberg:/snap: modes carry their own format)")
     p.add_argument("--output", default="./validation-out")
     p.add_argument("--checkpoint", help="lineage manifest dir (enables resume)")
     p.add_argument("--run-id", default="run-0")
@@ -109,7 +113,7 @@ def main(argv=None):
         )
         print(f"pinned to snapshot {snapshot_id}", file=sys.stderr)
     else:
-        clips = read_clips(spark, args.table)
+        clips = read_clips(spark, args.table, args.table_format)
     if args.since_snapshot is not None:
         if not args.table.startswith("snap:"):
             print("error: --since-snapshot requires a snap:<root> table "
@@ -125,7 +129,9 @@ def main(argv=None):
               f"{args.since_snapshot} (to {snapshot_id}, {args.delta_mode})",
               file=sys.stderr)
 
-    ref = read_ref_clips(spark, args.ref) if args.ref else None
+    ref = (
+        read_ref_clips(spark, args.ref, args.table_format) if args.ref else None
+    )
     ref_full = ref
     if ref is not None and args.since_snapshot is not None:
         # same contract as --resume: the reference shrinks to the delta's
