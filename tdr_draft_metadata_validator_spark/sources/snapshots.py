@@ -129,8 +129,18 @@ def snapshot_delta(
     if mode == "appended":
         delta = cur.join(base.select(key), on=key, how="left_anti")
     elif mode == "changed":
+        if sorted(cur.columns) != sorted(base.columns):
+            # the row hash is positional over the column list; comparing
+            # hashes across EVOLVED schemas would silently mark every row
+            # changed (or worse, miss changes) — refuse instead
+            raise ValueError(
+                "snapshot_delta(mode='changed') requires identical schemas; "
+                f"snapshot {since} has {sorted(base.columns)}, "
+                f"snapshot {to_sid} has {sorted(cur.columns)}"
+            )
+
         def hashed(df):
-            others = [c for c in df.columns if c != key]
+            others = [c for c in cur.columns if c != key]  # canonical order
             return df.select(F.col(key), F.xxhash64(*others).alias("__rh"))
 
         # anti-join on (key, row_hash): a row is in the delta unless its
@@ -192,6 +202,10 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
     """
     import shutil
 
+    if keep_last < 1:
+        # keep_last=0 would also be a silent no-op (snaps[:-0] == []);
+        # refuse explicitly — expiring EVERY snapshot deletes the table
+        raise ValueError("keep_last must be >= 1 (the table must keep a head)")
     snaps = list_snapshots(root)
     if len(snaps) <= keep_last:
         return []

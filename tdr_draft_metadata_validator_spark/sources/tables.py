@@ -27,10 +27,7 @@ def _read_table(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFr
         # explicitly (bytes ride as base64 strings per Spark's JSON
         # binary convention and decode on read)
         reader = reader.schema(schema or CLIPS_SCHEMA)
-    df = reader.format(fmt).load(path)
-    if fmt == "avro" and df is None:  # pragma: no cover - never None; doc only
-        raise NotImplementedError
-    return df
+    return reader.format(fmt).load(path)
 
 
 def read_clips(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
