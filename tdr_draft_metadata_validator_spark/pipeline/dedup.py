@@ -505,19 +505,33 @@ def near_dup_components_star(
             .distinct()
         )
 
+    def _sig(edges: DataFrame) -> tuple[int, int]:
+        """(count, xxhash64 content sum) — an order/partitioning-invariant
+        edge-set signature, one agg over checkpointed data."""
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum overflows under ANSI
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
     rounds = 0
+    prev_sig = _sig(e)
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
-        # fixpoint test: exact symmetric-difference probe on the (small,
-        # post-contraction) edge frames — both sides distinct by
-        # construction, so exceptAll in either direction suffices with a
-        # count guard
-        same = (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
-        )
-        e = new_e
+        # two-tier fixpoint test: a cheap signature (count + hash sum)
+        # gates the rounds — only when it matches does the EXACT
+        # symmetric-difference probe run, ONCE, to rule out a hash
+        # collision (never break on a signature alone: a collision would
+        # silently hand back wrong components). Both frames are distinct
+        # by construction, so one-direction exceptAll + equal counts is
+        # a full set-equality check.
+        sig = _sig(new_e)
+        same = sig == prev_sig and new_e.exceptAll(e).limit(1).count() == 0
+        e, prev_sig = new_e, sig
         if same:
             break
     else:
