@@ -724,12 +724,27 @@ def production_overrides() -> dict[str, Callable[[SparkSession, str], DataFrame]
         docs = _t(spark, sf, "documents")
         return text.hash_split(docs).select("doc_id", "split")
 
+    def p_pack_sequences(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return text.pack_sequences(docs, budget_tokens=200, n_groups=8)
+
+    def p_stratified_sample(spark, sf):
+        docs = _t(spark, sf, "documents")
+        labeled = docs.withColumn(
+            "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+        )
+        return text.stratified_sample(
+            labeled, {"en": 0.5, "de": 0.1}, "lang"
+        ).select("doc_id", "lang")
+
     return {
         "minhash_lsh_candidates": p_minhash_lsh,
         "minhash_signatures": p_minhash_sigs,
         "simhash": p_simhash,
         "simhash_pairs": p_simhash_pairs,
         "hash_split": p_hash_split,
+        "pack_sequences": p_pack_sequences,
+        "stratified_sample": p_stratified_sample,
     }
 
 
@@ -1309,8 +1324,8 @@ def _oracle_sqls() -> dict[str, str]:
               FROM documents
             )
             SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, grp AS "group",
-                   CAST(floor((sum(n_tokens) OVER (PARTITION BY grp ORDER BY id)
-                               - n_tokens) / 200.0) AS BIGINT) AS bin
+                   CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY grp ORDER BY id)
+                               - least(n_tokens, 200)) / 200.0) AS BIGINT) AS bin
             FROM d
         """,
         "stratified_sample": f"""

@@ -19,4 +19,4 @@ Layout:
     streaming/   -- structured-streaming variant of the rule evaluation
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

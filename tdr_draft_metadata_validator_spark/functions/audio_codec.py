@@ -81,6 +81,11 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
         elif cid == b"data":
             if sr_hz is None:
                 raise ValueError("data chunk before fmt chunk")
+            if sr_hz <= 0:
+                # a zero/negative rate would poison every downstream
+                # duration division (ZeroDivisionError escapes the decode
+                # gate's ValueError contract)
+                raise ValueError(f"invalid sample rate {sr_hz}")
             if bits != 16 or channels != 1:
                 raise ValueError(f"unsupported layout bits={bits} ch={channels}")
             if body + csize > len(payload):
@@ -115,6 +120,8 @@ def decode_ulaw(payload: bytes) -> tuple[int, np.ndarray]:
     magic, sr_hz, n = _ULAW_HDR.unpack_from(payload, 0)
     if magic != _ULAW_MAGIC:
         raise ValueError("not a ULAW payload")
+    if sr_hz <= 0:
+        raise ValueError(f"invalid sample rate {sr_hz}")
     body = payload[_ULAW_HDR.size:]
     if len(body) < n:
         raise ValueError("truncated ULAW data")

@@ -114,17 +114,25 @@ def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
     usec_per_frame = 100_000
     frames: list[np.ndarray] = []
 
-    def walk(start: int, end: int):
-        nonlocal w, h, usec_per_frame
-        off = start
+    # explicit stack, NOT recursion: a crafted payload of thousands of
+    # nested LIST chunks would blow the Python recursion limit, and
+    # RecursionError is not the ValueError the decode contract promises
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        off, end = stack.pop()
         while off + _CHUNK.size <= end:
             cid, csize = _CHUNK.unpack_from(payload, off)
             body = off + _CHUNK.size
             if body + csize > len(payload):
                 raise ValueError("truncated chunk")
             if cid == b"LIST":
-                walk(body + 4, body + csize)  # skip the 4-byte list kind
-            elif cid == b"avih":
+                # resume THIS level after the list, then descend (skip the
+                # 4-byte list kind)
+                stack.append((body + csize + (csize & 1), end))
+                end = body + csize
+                off = body + 4
+                continue
+            if cid == b"avih":
                 if csize < 56:
                     raise ValueError("truncated avih")
                 vals = _AVIH.unpack_from(payload, body)
@@ -146,8 +154,6 @@ def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
                     raise ValueError("frame chunk before strf header")
                 frames.append(_dib_decode_frame(payload[body:body + csize], w, h))
             off = body + csize + (csize & 1)
-
-    walk(12, len(payload))
     if not frames:
         raise ValueError("no frame chunks found")
     fps = max(1, round(1_000_000 / usec_per_frame))

@@ -150,10 +150,12 @@ def invalid_csv_gate(df: DataFrame, consignment_id: str) -> GateFailure | None:
     # COLUMN); the documented pattern is to cache the parsed frame first.
     # On the CLEAN path the cache is LEFT ALIVE: downstream checks derive
     # from the same plan and hit the InMemoryRelation instead of
-    # re-parsing the file (test_csv_clean_path_reuses_parse_cache); the
-    # engine unpersists it when the run's outputs have materialized. On
-    # the failure path the run short-circuits, so the cache is dropped
-    # here.
+    # re-parsing the file (test_csv_clean_path_reuses_parse_cache).
+    # OWNERSHIP: the CALLER releases it — `df.unpersist()` once the run's
+    # outputs have materialized (load_clips_csv documents this; a
+    # long-lived session ingesting many CSVs would otherwise accumulate
+    # one cached file per ingest). On the failure path the run
+    # short-circuits, so the cache is dropped here.
     cached = df.cache()
     n_bad = cached.where(F.col("_corrupt_record").isNotNull()).limit(1).count()
     if not n_bad:

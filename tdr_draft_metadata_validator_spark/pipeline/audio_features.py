@@ -76,6 +76,8 @@ def audio_quality_features(
                     sr, samples = decode(
                         bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
                     )
+                    if sr <= 0:  # decoders validate this; belt-and-braces
+                        raise ValueError(f"invalid sample rate {sr}")
                     dur, rms_db, zcr, clip_r, sil_r = _features_of(samples, sr)
                     out["decode_ok"].append(True)
                     out["dur_s"].append(dur)

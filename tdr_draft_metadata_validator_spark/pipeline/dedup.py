@@ -172,6 +172,43 @@ def jaccard_pairs(
     )
 
 
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard for GIVEN candidate pairs only — the verify stage
+    behind any candidate generator (MinHash LSH, SimHash, embedding
+    buckets): join each side's shingle set onto the pair list, score via
+    ``array_intersect``. Cost is O(|pairs|), NOT O(corpus^2) and not the
+    full inverted-index self-join :func:`jaccard_pairs` pays — the whole
+    point of generating candidates first.
+
+    -> (id_a, id_b, jaccard) for pairs meeting ``threshold``.
+    """
+    sh = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        shingles(F.col(text_col), n).alias("sh"),
+    )
+    p = pairs.select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    joined = (
+        p.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. MinHash + LSH banding
 # ---------------------------------------------------------------------------

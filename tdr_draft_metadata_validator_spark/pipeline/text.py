@@ -140,18 +140,13 @@ def hash_split(
     integer hash per row; ``lane="md5"`` is the engine-portable variant
     the DuckDB oracle reproduces bit-for-bit (dedup module docstring).
     Both are pure functions of the key; pick ONE per corpus and keep it
-    (changing lanes re-rolls the split). -> docs + ``split``.
+    (changing lanes re-rolls the split). MIGRATION NOTE: the default
+    changed md5 -> xxhash64 in engine 0.3 — a corpus split under <= 0.2
+    defaults must pin ``lane="md5"`` to preserve its assignments, or
+    docs move between train/test on the re-run. -> docs + ``split``.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    if lane == "md5":
-        lane_col = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}\x1f"), F.col(key_col).cast("string"))), 1, 8
-            ), 16, 10,
-        ).cast("long")
-    else:
-        lane_col = F.xxhash64(F.lit(seed), F.col(key_col).cast("string"))
-    bucket = F.pmod(lane_col, F.lit(buckets))
+    bucket = F.pmod(_key_lane(key_col, seed, lane), F.lit(buckets))
     expr = None
     cum = 0.0
     names = list(weights)
@@ -250,9 +245,12 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins (LLM batch
     packing): deterministic contiguous first-fit — docs fill a bin in id
-    order until the budget is crossed; the crossing doc starts the next
-    bin (bins can overflow by at most one doc, the standard contiguous-
-    packing trade that keeps the op a pure window expression).
+    order; the doc that CROSSES the budget stays in its bin (bins can
+    overflow by at most one doc, the standard contiguous-packing trade
+    that keeps the op a pure window expression). A doc longer than the
+    whole budget counts as exactly ONE budget toward the cumsum, so bin
+    ids stay DENSE from 0 per group — splitting oversized docs is the
+    tokenizer/chunker stage's job, not the packer's.
 
     Scale shape: packing is inherently sequential, so a single global
     cumsum would serialize on one task. Instead docs are first hashed
@@ -270,10 +268,11 @@ def pack_sequences(
         toks.cast("long").alias("n_tokens"),
         F.pmod(_key_lane(id_col, seed, lane), F.lit(n_groups)).cast("int").alias("group"),
     )
-    cum = F.sum("n_tokens").over(w)
+    contrib = F.least(F.col("n_tokens"), F.lit(budget_tokens))
+    cum = F.sum(contrib).over(w)
     return base.select(
         "id", "n_tokens", "group",
-        F.floor((cum - F.col("n_tokens")) / budget_tokens).cast("long").alias("bin"),
+        F.floor((cum - contrib) / budget_tokens).cast("long").alias("bin"),
     )
 
 

@@ -139,20 +139,32 @@ def snapshot_delta(
                 f"snapshot {to_sid} has {sorted(cur.columns)}"
             )
 
+        others = [c for c in cur.columns if c != key]  # canonical order
+
+        def _row_hash(df):
+            # xxhash64(*cols) SKIPS null inputs (the seed passes through
+            # unchanged), so a value MOVING between nullable columns —
+            # (a=NULL, b='v') -> (a='v', b=NULL) — would hash identically
+            # and the change would be silently missed. Hash a canonical
+            # JSON serialization instead: ignoreNullFields=false makes
+            # nulls positionally explicit (binary rides as base64).
+            return F.xxhash64(
+                F.to_json(F.struct(*[F.col(c) for c in others]),
+                          {"ignoreNullFields": "false"})
+            )
+
         def hashed(df):
-            others = [c for c in cur.columns if c != key]  # canonical order
-            return df.select(F.col(key), F.xxhash64(*others).alias("__rh"))
+            return df.select(F.col(key), _row_hash(df).alias("__rh"))
 
         # anti-join on (key, row_hash): a row is in the delta unless its
         # (key, hash) pair existed identically in the base snapshot
         delta = cur.join(
             hashed(base).withColumnRenamed("__rh", "__base_rh"), on=key, how="left"
         )
-        others = [c for c in cur.columns if c != key]
         delta = (
             delta.where(
                 F.col("__base_rh").isNull()
-                | (F.xxhash64(*[F.col(c) for c in others]) != F.col("__base_rh"))
+                | (_row_hash(delta) != F.col("__base_rh"))
             )
             .drop("__base_rh")
         )

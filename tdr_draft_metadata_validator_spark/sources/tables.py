@@ -98,6 +98,11 @@ def load_clips_csv(
       null-fill). With ``consignment_id`` set the gate runs here and
       raises :class:`GateTripped`; otherwise the ``_corrupt_record``
       column is left on the frame for the caller's own gate check.
+    - CACHE OWNERSHIP: on the clean gated path the parsed frame stays
+      CACHED (the gate must materialize it; keeping it saves downstream
+      re-parses). The caller owns the release — call ``df.unpersist()``
+      when the run's outputs have materialized; long-lived sessions
+      ingesting many CSVs must do so or cached files accumulate.
     """
     if consignment_id is not None:
         from ..operators.gates import GateTripped, invalid_csv_gate, utf8_file_gate

@@ -618,6 +618,17 @@ def test_pack_sequences_budget_and_stability(spark, docs):
         bins = sorted({r["bin"] for r in rows if r["group"] == g})
         assert bins == list(range(len(bins)))
 
+    # docs LONGER than the budget count as one budget: bins stay dense
+    big = spark.createDataFrame(
+        [(1, "w " * 50), (2, "x " * 600), (3, "y " * 50), (4, "z " * 50)],
+        "doc_id int, text string",
+    )
+    out2 = text.pack_sequences(big, budget_tokens=100, n_groups=1).collect()
+    bins2 = sorted({r["bin"] for r in out2})
+    assert bins2 == list(range(len(bins2)))
+    oversized = [r for r in out2 if r["id"] == "2"][0]
+    assert oversized["n_tokens"] == 600  # true count reported, clamp is packing-only
+
 
 def test_stratified_sample_deterministic_and_proportional(spark, docs):
     """Per-stratum fractions hit within tolerance; the sample is a pure
@@ -733,3 +744,46 @@ def test_prepare_training_corpus_end_to_end(spark):
     solo_by_id = {r["id"]: r for r in solo}
     assert "<EMAIL>" in solo_by_id["6"]["text_redacted"]
     assert "alice@example.com" not in solo_by_id["6"]["text_redacted"]
+
+
+def test_video_decode_nested_list_bomb_raises_valueerror():
+    """A crafted payload of thousands of nested LIST chunks must raise
+    ValueError (decode_ok policy), not RecursionError (code-review r3)."""
+    import struct
+
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.functions.video_codec import decode_avi
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = struct.pack("<4sI", b"LIST", len(inner) + 4) + b"xxxx" + inner
+    payload = struct.pack("<4sI", b"RIFF", len(inner) + 4) + b"AVI " + inner
+    with _pytest.raises(ValueError):
+        decode_avi(payload)
+
+
+def test_audio_zero_sample_rate_is_decode_failure(spark):
+    """A WAV whose fmt chunk declares sr=0 must surface decode_ok=False,
+    never ZeroDivisionError aborting the task (code-review r3)."""
+    import numpy as np
+    import struct
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        encode_wav_pcm16,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_features import (
+        audio_quality_features,
+    )
+
+    good = encode_wav_pcm16(np.zeros(16, dtype=np.int16), 16000)
+    # patch the fmt chunk's sample-rate field (offset 24 in the canonical
+    # RIFF|fmt |data layout our encoder emits) to 0
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 24, 0)
+    clips = spark.createDataFrame(
+        [("z", bytes(bad), "pcm_s16le")], "clip_id string, bytes binary, codec string"
+    )
+    row = audio_quality_features(clips).collect()[0]
+    assert row["decode_ok"] is False

@@ -119,7 +119,10 @@ def main(argv=None):
             print("error: --since-snapshot requires a snap:<root> table "
                   "(snapshot manifests define the delta)", file=sys.stderr)
             return 2
-        from tdr_draft_metadata_validator_spark.sources.snapshots import snapshot_delta
+        from tdr_draft_metadata_validator_spark.sources.snapshots import (
+            read_snapshot,
+            snapshot_delta,
+        )
 
         clips, _removed, snapshot_id = snapshot_delta(
             spark, args.table[len("snap:"):], args.since_snapshot,
@@ -128,6 +131,16 @@ def main(argv=None):
         print(f"incremental: validating delta since snapshot "
               f"{args.since_snapshot} (to {snapshot_id}, {args.delta_mode})",
               file=sys.stderr)
+        # drift stays a WHOLE-TABLE fact on incremental runs too: PSI/KS
+        # of a 10-row appended sliver against run-level thresholds is
+        # small-sample noise (spurious breaches on clean runs). The
+        # per-sliver signal belongs to the streaming drift monitor, which
+        # is documented to need looser, windowed thresholds.
+        incremental_drift_frame, _ = read_snapshot(
+            spark, args.table[len("snap:"):], snapshot_id
+        )
+    else:
+        incremental_drift_frame = None
 
     ref = (
         read_ref_clips(spark, args.ref, args.table_format) if args.ref else None
@@ -142,8 +155,9 @@ def main(argv=None):
 
     # drift is a RUN-LEVEL, whole-table fact: keep an unfiltered handle so
     # a --resume run computes PSI/KS over the same distribution as the
-    # original run (the resume-filtered subset could flip the verdict)
-    clips_full = clips
+    # original run (the resume-filtered subset could flip the verdict);
+    # on --since-snapshot runs the whole table is the full pinned snapshot
+    clips_full = incremental_drift_frame if incremental_drift_frame is not None else clips
 
     done: list[int] = []
     if args.resume and args.checkpoint:
