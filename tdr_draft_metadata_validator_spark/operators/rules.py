@@ -158,6 +158,37 @@ def expr_rule(prop: str, error_key: str, condition: Column, **kw) -> Rule:
     return Rule(prop, error_key, condition, **kw)
 
 
+def speaking_rate_rule(
+    dur_col: str = "dur_ms",
+    transcript_col: str = "transcript",
+    min_wps: float = 0.3,
+    max_wps: float = 6.0,
+    **kw,
+) -> Rule:
+    """Cross-MODAL sanity: whitespace words per second of audio must land
+    in a plausible human range — catches transcript/clip mispairings
+    (a 2 s clip with a 300-word transcript) that per-column checks can't
+    see. Pure Column arithmetic over columns already scanned; payload
+    untouched. Empty transcript / non-positive duration are other rules'
+    jobs, so they pass here (no double-reporting one root cause).
+    """
+    import pyspark.sql.functions as F
+
+    words = F.size(F.split(F.trim(F.col(transcript_col)), r"\s+"))
+    secs = F.col(dur_col).cast("double") / 1000.0
+    wps = words / secs
+    bad = (
+        F.col(transcript_col).isNotNull()
+        & (F.trim(F.col(transcript_col)) != "")
+        & (secs > 0)
+        & ((wps < min_wps) | (wps > max_wps))
+    )
+    return expr_rule(
+        transcript_col, "speakingRate", bad,
+        data_cols=(transcript_col, dur_col), **kw,
+    )
+
+
 # -- the default rule set for the clips table (north_rule A5 domains) --------
 
 def clips_base_rules(sr_domain=(8000, 16000, 22050, 44100),

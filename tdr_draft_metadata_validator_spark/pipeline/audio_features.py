@@ -94,3 +94,124 @@ def audio_quality_features(
     return clips.select(
         F.col(id_col), F.col(bytes_col), F.col(codec_col)
     ).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup: energy-envelope fingerprint + Hamming bucket join
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+_FP_FRAMES = 64  # -> 63 delta bits, fits a non-negative int64
+
+
+def envelope_fingerprint(samples: np.ndarray) -> int:
+    """63-bit energy-delta fingerprint: split the clip into 64 equal
+    windows, RMS each, bit i = (rms[i+1] > rms[i]) — the classic
+    robust-audio-hash shape (Haitsma-Kalker energy deltas, simplified to
+    one band). Invariant to uniform GAIN (deltas compare, not measure)
+    and robust to lossy requantization (mu-law barely moves window RMS);
+    different program material flips ~half the bits.
+    """
+    n = len(samples)
+    if n < _FP_FRAMES:
+        samples = np.pad(samples.astype(np.float64), (0, _FP_FRAMES - n))
+        n = _FP_FRAMES
+    f = samples.astype(np.float64)
+    edges = np.linspace(0, n, _FP_FRAMES + 1, dtype=np.int64)
+    rms = np.array([
+        np.sqrt(np.mean(f[edges[i]:edges[i + 1]] ** 2)) if edges[i + 1] > edges[i] else 0.0
+        for i in range(_FP_FRAMES)
+    ])
+    bits = rms[1:] > rms[:-1]
+    fp = 0
+    for i, b in enumerate(bits):
+        if b:
+            fp |= 1 << i
+    return fp
+
+
+def audio_fingerprints(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """-> (clip_id, decode_ok, afp): one Arrow decode pass, zero shuffle —
+    the audio analog of text fingerprinting. md5 exact fingerprints
+    (operators/audio.py) catch bit-identical dups; THIS catches
+    re-encoded / gain-adjusted copies of the same recording."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, fps = [], [], []
+            for i in range(len(pdf)):
+                ids.append(str(pdf[id_col].iat[i]))
+                try:
+                    _sr, samples = decode(
+                        bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
+                    )
+                    fps.append(envelope_fingerprint(samples))
+                    oks.append(True)
+                except (ValueError, TypeError):
+                    fps.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({"clip_id": ids, "decode_ok": oks, "afp": fps})
+
+    return clips.select(
+        F.col(id_col), F.col(bytes_col), F.col(codec_col)
+    ).mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dups(
+    clips: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Audio near-dup pairs by Hamming distance on the envelope
+    fingerprint — the pyspark x audio dedup the text SimHash path can't
+    provide. Candidate generation: 4-way fingerprint chunking -> bucket
+    equi-join -> exact popcount filter. Pigeonhole guarantees EXACT
+    recall only for ``max_hamming <= 3`` (4 chunks: <= 3 bit errors
+    leave >= 1 chunk untouched); a larger radius may miss pairs whose
+    errors spread across all chunks — raise the chunk count for exact
+    recall at higher radii. Payload bytes never ride the join — only
+    (id, 8-byte fp).
+
+    -> (id_a, id_b, hamming).
+    """
+    fps = audio_fingerprints(clips, id_col, bytes_col, codec_col).where(
+        F.col("decode_ok")
+    )
+    chunk = 16  # 4 chunks x 16 bits over the 63-bit fp
+    mask = (1 << chunk) - 1
+    pieces = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(F.col("afp"), i * chunk).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for i in range(4)
+    ]
+    bl = fps.select("clip_id", "afp", F.explode(F.array(*pieces)).alias("c")).select(
+        "clip_id", "afp", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = bl.select(F.col("clip_id").alias("id_a"), F.col("afp").alias("f_a"), "ci", "cv")
+    b = bl.select(F.col("clip_id").alias("id_b"), F.col("afp").alias("f_b"), "ci", "cv")
+    cand = (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "f_a", "f_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

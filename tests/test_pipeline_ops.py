@@ -787,3 +787,48 @@ def test_audio_zero_sample_rate_is_decode_failure(spark):
     )
     row = audio_quality_features(clips).collect()[0]
     assert row["decode_ok"] is False
+
+
+def test_audio_envelope_near_dups(spark):
+    """Audio near-dup: the SAME recording re-encoded lossily (mu-law) and
+    gain-adjusted fingerprints within a small Hamming radius of the
+    original; different program material does not. Exact dups are
+    hamming 0."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        encode_ulaw,
+        encode_wav_pcm16,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_features import (
+        audio_near_dups,
+        envelope_fingerprint,
+    )
+
+    sr = 16000
+    rng = np.random.RandomState(3)
+    t = np.arange(sr * 2)
+    # speech-like: noise bursts with a varying envelope
+    env = np.abs(np.sin(2 * np.pi * 1.7 * t / sr)) + 0.1
+    sig = (8000 * env * rng.randn(len(t)).clip(-3, 3) / 3).astype(np.int16)
+    other = (8000 * np.sin(2 * np.pi * 440 * t / sr) *
+             np.abs(np.cos(2 * np.pi * 0.9 * t / sr))).astype(np.int16)
+
+    # gain invariance is exact (deltas compare, not measure)
+    assert envelope_fingerprint(sig) == envelope_fingerprint(
+        (sig * 0.5).astype(np.int16))
+
+    rows = [
+        ("orig", encode_wav_pcm16(sig, sr), "pcm_s16le"),
+        ("dup", encode_wav_pcm16(sig, sr), "pcm_s16le"),
+        ("lossy", encode_ulaw(sig, sr), "ulaw"),
+        ("other", encode_wav_pcm16(other, sr), "pcm_s16le"),
+        ("junk", b"\x00\x01", "pcm_s16le"),
+    ]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in audio_near_dups(clips, max_hamming=3).collect()}
+    assert pairs.get(("dup", "orig")) == 0
+    assert ("lossy", "orig") in pairs           # lossy re-encode still matches
+    assert not any("other" in p for p in pairs)  # different material
+    assert not any("junk" in p for p in pairs)   # undecodable excluded

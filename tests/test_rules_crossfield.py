@@ -102,3 +102,25 @@ def test_conditional_dependency_alternate_description(spark):
     )
     v = compile_rules(df, [rule]).collect()
     assert sorted(r["asset_id"] for r in v) == ["b", "d"]
+
+
+def test_speaking_rate_rule(spark):
+    """Cross-modal transcript/duration sanity: implausible words-per-sec
+    flags; empty transcript and zero duration are other rules' jobs."""
+    from tdr_draft_metadata_validator_spark.operators.rules import (
+        compile_rules,
+        speaking_rate_rule,
+    )
+
+    rows = [
+        ("a", 10_000, "this is a perfectly normal ten second utterance ok"),  # 1 wps
+        ("b", 2_000, " ".join(["w"] * 300)),   # 150 wps -> mispaired
+        ("c", 60_000, "hi"),                   # 0.03 wps -> mispaired
+        ("d", 10_000, ""),                     # empty: required_rule's job
+        ("e", 0, "zero duration clip"),        # dur rule's job
+        ("f", None, "null duration"),          # null-safe
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms int, transcript string")
+    v = compile_rules(df, [speaking_rate_rule()], key_col="clip_id")
+    got = {r["asset_id"] for r in v.collect()}
+    assert got == {"b", "c"}
