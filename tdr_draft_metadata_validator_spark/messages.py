@@ -50,6 +50,10 @@ _CATALOG: dict[tuple[str, str, str], str] = {
     ),
     ("SCHEMA_BASE", "transcript", "required"): "Must not be empty",
     ("SCHEMA_BASE", "transcript", "pattern"): "Must not contain line breaks",
+    ("SCHEMA_BASE", "transcript", "speakingRate"): (
+        "Transcript length is implausible for the clip duration "
+        "(possible transcript/clip mispairing)"
+    ),
     ("SCHEMA_BASE", "*", "type"): "Value is not of the expected type",
     ("SCHEMA_BASE", "*", "format.date"): (
         "We are unable to recognise this as a valid date format, please "

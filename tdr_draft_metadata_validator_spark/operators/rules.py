@@ -172,8 +172,6 @@ def speaking_rate_rule(
     untouched. Empty transcript / non-positive duration are other rules'
     jobs, so they pass here (no double-reporting one root cause).
     """
-    import pyspark.sql.functions as F
-
     words = F.size(F.split(F.trim(F.col(transcript_col)), r"\s+"))
     secs = F.col(dur_col).cast("double") / 1000.0
     wps = words / secs

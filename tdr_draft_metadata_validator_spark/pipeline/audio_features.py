@@ -111,13 +111,19 @@ AUDIO_FP_SCHEMA = T.StructType(
 _FP_FRAMES = 64  # -> 63 delta bits, fits a non-negative int64
 
 
-def envelope_fingerprint(samples: np.ndarray) -> int:
+def envelope_fingerprint(samples: np.ndarray) -> int | None:
     """63-bit energy-delta fingerprint: split the clip into 64 equal
     windows, RMS each, bit i = (rms[i+1] > rms[i]) — the classic
     robust-audio-hash shape (Haitsma-Kalker energy deltas, simplified to
     one band). Invariant to uniform GAIN (deltas compare, not measure)
     and robust to lossy requantization (mu-law barely moves window RMS);
     different program material flips ~half the bits.
+
+    Returns ``None`` for a FLAT envelope (silence / constant tone /
+    empty): a flat clip carries no delta signal, and mapping every
+    dead-air clip to fp=0 would both report distinct recordings as
+    hamming-0 "duplicates" AND make the fp=0 bucket join O(k^2) — route
+    those through the silence_ratio quality filter instead.
     """
     n = len(samples)
     if n < _FP_FRAMES:
@@ -125,16 +131,16 @@ def envelope_fingerprint(samples: np.ndarray) -> int:
         n = _FP_FRAMES
     f = samples.astype(np.float64)
     edges = np.linspace(0, n, _FP_FRAMES + 1, dtype=np.int64)
-    rms = np.array([
-        np.sqrt(np.mean(f[edges[i]:edges[i + 1]] ** 2)) if edges[i + 1] > edges[i] else 0.0
-        for i in range(_FP_FRAMES)
-    ])
+    # vectorized per-window mean square: one reduceat + one sqrt (this
+    # sits on the Arrow hot path — no per-window python calls)
+    sq = np.add.reduceat(f * f, edges[:-1])
+    widths = np.diff(edges)
+    rms = np.sqrt(sq / np.maximum(widths, 1))
     bits = rms[1:] > rms[:-1]
-    fp = 0
-    for i, b in enumerate(bits):
-        if b:
-            fp |= 1 << i
-    return fp
+    if not bits.any() and not (rms[1:] < rms[:-1]).any():
+        return None  # flat envelope: no signal to fingerprint
+    # 63 shifts of python int — negligible next to the decode above
+    return sum(1 << i for i, b in enumerate(bits) if b)
 
 
 def audio_fingerprints(
@@ -157,12 +163,18 @@ def audio_fingerprints(
                     _sr, samples = decode(
                         bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
                     )
-                    fps.append(envelope_fingerprint(samples))
+                    fps.append(envelope_fingerprint(samples))  # None if flat
                     oks.append(True)
                 except (ValueError, TypeError):
                     fps.append(None)
                     oks.append(False)
-            yield pd.DataFrame({"clip_id": ids, "decode_ok": oks, "afp": fps})
+            # nullable Int64, NOT a plain list: one None would coerce the
+            # column to float64 and clip fingerprints above 2^53 (silent
+            # bit corruption breaking the exact-recall guarantee)
+            yield pd.DataFrame({
+                "clip_id": ids, "decode_ok": oks,
+                "afp": pd.array(fps, dtype="Int64"),
+            })
 
     return clips.select(
         F.col(id_col), F.col(bytes_col), F.col(codec_col)
@@ -188,30 +200,18 @@ def audio_near_dups(
 
     -> (id_a, id_b, hamming).
     """
-    fps = audio_fingerprints(clips, id_col, bytes_col, codec_col).where(
-        F.col("decode_ok")
-    )
-    chunk = 16  # 4 chunks x 16 bits over the 63-bit fp
-    mask = (1 << chunk) - 1
-    pieces = [
-        F.struct(
-            F.lit(i).alias("ci"),
-            F.shiftright(F.col("afp"), i * chunk).bitwiseAND(F.lit(mask)).alias("cv"),
+    from .dedup import hamming_near_pairs
+
+    if max_hamming > 3:
+        raise ValueError(
+            "audio_near_dups guarantees exact recall only for "
+            f"max_hamming <= 3 under 4-chunk pigeonhole (got {max_hamming}); "
+            "use dedup.hamming_near_pairs with more chunks for larger radii"
         )
-        for i in range(4)
-    ]
-    bl = fps.select("clip_id", "afp", F.explode(F.array(*pieces)).alias("c")).select(
-        "clip_id", "afp", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    fps = audio_fingerprints(clips, id_col, bytes_col, codec_col).where(
+        F.col("decode_ok") & F.col("afp").isNotNull()  # flat-envelope clips excluded
     )
-    a = bl.select(F.col("clip_id").alias("id_a"), F.col("afp").alias("f_a"), "ci", "cv")
-    b = bl.select(F.col("clip_id").alias("id_b"), F.col("afp").alias("f_b"), "ci", "cv")
-    cand = (
-        a.join(b, on=["ci", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "f_a", "f_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    return hamming_near_pairs(
+        fps, max_hamming=max_hamming, bits=63, chunks=4,
+        id_col="clip_id", fp_col="afp",
     )

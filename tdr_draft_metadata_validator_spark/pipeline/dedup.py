@@ -314,37 +314,66 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     return bit_sums.select("id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32,
-                       id_col: str = "doc_id", text_col: str = "text",
-                       lane: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs by Hamming distance on SimHash, candidate-generated
-    by 4-way fingerprint chunking (a pair within Hamming<=3 must agree on
-    >=1 of 4 chunks — pigeonhole) then exact popcount filter."""
-    fps = simhash(docs, bits, id_col, text_col, lane=lane)
-    chunk = bits // 4
+def hamming_near_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    chunks: int = 4,
+    id_col: str = "id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Shared Hamming-radius pair join over ANY integer fingerprint column
+    (SimHash, audio envelope, ...): split the fingerprint into ``chunks``
+    bit ranges, bucket-join on (chunk index, chunk value), exact popcount
+    filter. Pigeonhole guarantees EXACT recall only for
+    ``max_hamming <= chunks - 1`` (that many bit errors must leave one
+    chunk untouched); a larger radius is CANDIDATE semantics — pairs
+    whose errors spread across every chunk are missed. Callers promising
+    exact recall must guard; callers accepting candidates (the SimHash
+    oracle query runs max_hamming=6 over 4 chunks, replicated exactly in
+    SQL) document it.
+
+    -> (id_a, id_b, hamming) with hamming <= max_hamming.
+    """
+    chunk = -(-bits // chunks)  # ceil: cover every bit
     mask = (1 << chunk) - 1
     pieces = [
         F.struct(
             F.lit(i).alias("ci"),
-            F.shiftright(F.col("simhash"), i * chunk).bitwiseAND(F.lit(mask)).alias("cv"),
+            F.shiftright(F.col(fp_col), i * chunk).bitwiseAND(F.lit(mask)).alias("cv"),
         )
-        for i in range(4)
+        for i in range(chunks)
     ]
-    bl = fps.select("id", "simhash", F.explode(F.array(*pieces)).alias("c")).select(
-        "id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
-    )
-    a = bl.select(F.col("id").alias("id_a"), F.col("simhash").alias("s_a"), "ci", "cv")
-    b = bl.select(F.col("id").alias("id_b"), F.col("simhash").alias("s_b"), "ci", "cv")
+    bl = fps.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp"),
+        F.explode(F.array(*pieces)).alias("c"),
+    ).select("id", "fp", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = bl.select(F.col("id").alias("id_a"), F.col("fp").alias("f_a"), "ci", "cv")
+    b = bl.select(F.col("id").alias("id_b"), F.col("fp").alias("f_b"), "ci", "cv")
     cand = (
         a.join(b, on=["ci", "cv"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "s_a", "s_b")
+        .select("id_a", "id_b", "f_a", "f_b")
         .distinct()
     )
-    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    return cand.select(
-        "id_a", "id_b", ham.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
+    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lane: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash via
+    :func:`hamming_near_pairs` (4-chunk pigeonhole candidates + exact
+    popcount). Recall is exact for ``max_hamming <= 3``; larger radii are
+    candidate semantics (see the helper's docstring)."""
+    fps = simhash(docs, bits, id_col, text_col, lane=lane)
+    return hamming_near_pairs(
+        fps, max_hamming=max_hamming, bits=bits, chunks=4,
+        id_col="id", fp_col="simhash",
+    )
 
 
 # ---------------------------------------------------------------------------

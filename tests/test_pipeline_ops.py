@@ -832,3 +832,43 @@ def test_audio_envelope_near_dups(spark):
     assert ("lossy", "orig") in pairs           # lossy re-encode still matches
     assert not any("other" in p for p in pairs)  # different material
     assert not any("junk" in p for p in pairs)   # undecodable excluded
+
+
+def test_audio_fingerprint_bitexact_in_mixed_batch(spark):
+    """Regression (code-review r3 #2): one undecodable payload in a batch
+    used to coerce the afp column to float64, silently flipping low bits
+    of fingerprints above 2^53. The Spark-side fingerprint must be
+    BIT-EXACT vs the local computation even with a junk row in the same
+    Arrow batch."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_features import (
+        audio_fingerprints,
+        envelope_fingerprint,
+    )
+
+    sr = 16000
+    rng = np.random.RandomState(9)
+    # keep drawing until the fingerprint exceeds 2^53 (float64 mantissa)
+    for _ in range(50):
+        sig = (8000 * rng.randn(sr)).clip(-32768, 32767).astype(np.int16)
+        expected = envelope_fingerprint(sig)
+        if expected is not None and expected > (1 << 53):
+            break
+    assert expected > (1 << 53)
+
+    payload = encode_wav_pcm16(sig, sr)
+    assert envelope_fingerprint(decode_wav_pcm16(payload)[1]) == expected
+    clips = spark.createDataFrame(
+        [("good", payload, "pcm_s16le"), ("junk", b"\x00", "pcm_s16le"),
+         ("flat", encode_wav_pcm16(np.zeros(sr, dtype=np.int16), sr), "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    ).coalesce(1)  # one partition -> one Arrow batch containing the junk row
+    rows = {r["clip_id"]: r for r in audio_fingerprints(clips).collect()}
+    assert rows["good"]["afp"] == expected            # bit-exact, no float trip
+    assert rows["junk"]["decode_ok"] is False
+    assert rows["flat"]["decode_ok"] is True and rows["flat"]["afp"] is None
