@@ -1,0 +1,205 @@
+"""Audio transforms for training-data pipelines: resample, segment,
+loudness-normalize — the audio analogs of document chunking and text
+normalization, each one Arrow-batched ``mapInPandas`` pass (payload
+bytes cross JVM<->Python once per batch; undecodable payloads surface
+as decode_ok=False / are skipped, never task failures — the package's
+uniform decode policy).
+
+All transforms re-encode to RIFF/WAVE PCM16 (the package's canonical
+interchange codec): a pipeline normalizing a mixed-codec corpus to one
+sample rate and level emits clips any downstream stage can decode.
+
+Resampling is windowed-sinc-free by design: LINEAR interpolation is the
+honest baseline a validator/pipeline ships without a DSP dependency —
+alias-free only when downsampling band-limited material; the docstring
+says so rather than pretending to be libsamplerate. Swap in
+``scipy.signal.resample_poly`` behind the same signature when scipy is
+available (import-try, like PIL/soundfile elsewhere).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.audio_codec import decode, encode_wav_pcm16
+
+try:  # real polyphase resampling when scipy exists (not in this image)
+    from scipy.signal import resample_poly as _resample_poly
+except ImportError:  # pragma: no cover - environment-dependent
+    _resample_poly = None
+
+TRANSFORMED_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("dur_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("segment_idx", T.IntegerType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("sr_hz", T.IntegerType(), False),
+        T.StructField("dur_ms", T.IntegerType(), False),
+        T.StructField("codec", T.StringType(), False),
+    ]
+)
+
+
+def resample_linear(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample (int16 -> int16). Uses scipy's
+    polyphase filter when available; otherwise np.interp — adequate for
+    speech-rate conversions, aliases on downsample of full-band content
+    (documented, not hidden)."""
+    if sr_from == sr_to:
+        return samples
+    if _resample_poly is not None:
+        out = _resample_poly(samples.astype(np.float64), sr_to, sr_from)
+        return np.clip(np.round(out), -32768, 32767).astype(np.int16)
+    n_out = max(1, int(round(len(samples) * sr_to / sr_from)))
+    x_out = np.arange(n_out, dtype=np.float64) * (len(samples) - 1) / max(n_out - 1, 1)
+    out = np.interp(x_out, np.arange(len(samples), dtype=np.float64),
+                    samples.astype(np.float64))
+    return np.clip(np.round(out), -32768, 32767).astype(np.int16)
+
+
+def _transform_pass(clips: DataFrame, fn, id_col: str, bytes_col: str,
+                    codec_col: str) -> DataFrame:
+    """Shared decode -> fn(sr, samples) -> (sr', samples') -> WAV re-encode
+    pass for the 1:1 transforms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms",
+                                   "codec", "decode_ok")}
+            for i in range(len(pdf)):
+                out["clip_id"].append(str(pdf[id_col].iat[i]))
+                try:
+                    sr, samples = decode(
+                        bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
+                    )
+                    sr2, samples2 = fn(sr, samples)
+                    out["bytes"].append(encode_wav_pcm16(samples2, sr2))
+                    out["sr_hz"].append(sr2)
+                    out["dur_ms"].append(int(round(len(samples2) * 1000 / sr2)))
+                    out["codec"].append("pcm_s16le")
+                    out["decode_ok"].append(True)
+                except (ValueError, TypeError):
+                    for k in ("bytes", "sr_hz", "dur_ms", "codec"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame({
+                **{k: out[k] for k in ("clip_id", "bytes")},
+                "sr_hz": pd.array(out["sr_hz"], dtype="Int32"),
+                "dur_ms": pd.array(out["dur_ms"], dtype="Int32"),
+                "codec": out["codec"],
+                "decode_ok": out["decode_ok"],
+            })
+
+    return clips.select(
+        F.col(id_col), F.col(bytes_col), F.col(codec_col)
+    ).mapInPandas(run, TRANSFORMED_SCHEMA)
+
+
+def resample_clips(
+    clips: DataFrame,
+    target_sr: int = 16000,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Normalize a mixed-rate corpus to one sample rate — the standard
+    pre-training step for speech models. -> canonical clips columns
+    (clip_id, bytes WAV/PCM16 @ target_sr, sr_hz, dur_ms, codec,
+    decode_ok)."""
+    return _transform_pass(
+        clips, lambda sr, s: (target_sr, resample_linear(s, sr, target_sr)),
+        id_col, bytes_col, codec_col,
+    )
+
+
+def normalize_loudness(
+    clips: DataFrame,
+    target_rms_db: float = -20.0,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Scale each clip to a target RMS level (dBFS) — level-normalized
+    corpora train more stably. Pure gain (no compression/limiting beyond
+    the int16 clip), silent clips pass through unscaled (no gain can fix
+    silence; the quality filter owns them)."""
+    target = 32768.0 * (10.0 ** (target_rms_db / 20.0))
+
+    def fn(sr, samples):
+        f = samples.astype(np.float64)
+        rms = float(np.sqrt(np.mean(f * f))) if len(f) else 0.0
+        if rms <= 0:
+            return sr, samples
+        out = np.clip(np.round(f * (target / rms)), -32768, 32767)
+        return sr, out.astype(np.int16)
+
+    return _transform_pass(clips, fn, id_col, bytes_col, codec_col)
+
+
+def segment_clips(
+    clips: DataFrame,
+    segment_ms: int = 10_000,
+    overlap_ms: int = 0,
+    min_tail_ms: int = 1_000,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Split long clips into fixed-duration segments (1:N mapInPandas —
+    the audio analog of document chunking): stride = segment - overlap;
+    a trailing remainder shorter than ``min_tail_ms`` is dropped (a
+    50 ms orphan is noise, not data). Undecodable inputs are skipped
+    (decode_ok policy). -> (clip_id, segment_idx, bytes WAV @ source sr,
+    sr_hz, dur_ms, codec)."""
+    if overlap_ms >= segment_ms:
+        raise ValueError("overlap_ms must be < segment_ms (stride must advance)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("clip_id", "segment_idx", "bytes",
+                                   "sr_hz", "dur_ms", "codec")}
+            for i in range(len(pdf)):
+                try:
+                    sr, samples = decode(
+                        bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
+                    )
+                except (ValueError, TypeError):
+                    continue
+                seg = int(sr * segment_ms / 1000)
+                stride = seg - int(sr * overlap_ms / 1000)
+                min_tail = int(sr * min_tail_ms / 1000)
+                idx = 0
+                for start in range(0, max(len(samples), 1), stride):
+                    piece = samples[start:start + seg]
+                    if len(piece) == 0 or (len(piece) < min_tail and idx > 0):
+                        break
+                    out["clip_id"].append(str(pdf[id_col].iat[i]))
+                    out["segment_idx"].append(idx)
+                    out["bytes"].append(encode_wav_pcm16(piece, sr))
+                    out["sr_hz"].append(sr)
+                    out["dur_ms"].append(int(round(len(piece) * 1000 / sr)))
+                    out["codec"].append("pcm_s16le")
+                    idx += 1
+                    if start + seg >= len(samples):
+                        break
+            yield pd.DataFrame(out)
+
+    return clips.select(
+        F.col(id_col), F.col(bytes_col), F.col(codec_col)
+    ).mapInPandas(run, SEGMENT_SCHEMA)

@@ -872,3 +872,84 @@ def test_audio_fingerprint_bitexact_in_mixed_batch(spark):
     assert rows["good"]["afp"] == expected            # bit-exact, no float trip
     assert rows["junk"]["decode_ok"] is False
     assert rows["flat"]["decode_ok"] is True and rows["flat"]["afp"] is None
+
+
+def test_audio_resample_and_normalize(spark):
+    """Resample: a 16k sine lands at 8k with length halved and the tone
+    preserved (zcr in cycles/sec invariant); normalize: RMS hits the
+    target level; junk rows surface decode_ok=False."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_transform import (
+        normalize_loudness,
+        resample_clips,
+    )
+
+    sr = 16000
+    t = np.arange(sr)
+    sine = (8000 * np.sin(2 * np.pi * 400 * t / sr)).astype(np.int16)
+    clips = spark.createDataFrame(
+        [("s", encode_wav_pcm16(sine, sr), "pcm_s16le"),
+         ("j", b"\x00", "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+    rows = {r["clip_id"]: r for r in resample_clips(clips, target_sr=8000).collect()}
+    assert rows["j"]["decode_ok"] is False
+    r = rows["s"]
+    assert r["sr_hz"] == 8000 and abs(r["dur_ms"] - 1000) <= 1
+    sr2, out = decode_wav_pcm16(bytes(r["bytes"]))
+    assert sr2 == 8000 and abs(len(out) - 8000) <= 1
+    # tone preserved: zero crossings per second ~ 2 * 400
+    zc = float(np.mean(np.signbit(out[1:].astype(float)) != np.signbit(out[:-1].astype(float)))) * 8000
+    assert abs(zc - 800) < 40
+
+    norm = {r["clip_id"]: r for r in
+            normalize_loudness(clips, target_rms_db=-20.0).collect()}
+    _, ns = decode_wav_pcm16(bytes(norm["s"]["bytes"]))
+    rms_db = 20 * np.log10(np.sqrt(np.mean(ns.astype(float) ** 2)) / 32768.0)
+    assert abs(rms_db - (-20.0)) < 0.1
+
+
+def test_audio_segmentation(spark):
+    """1:N segmentation: a 25 s clip at 10 s segments yields 10+10+5;
+    with min_tail 6 s the 5 s orphan drops; overlap advances the stride;
+    segments re-decode to the exact source slices."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_transform import (
+        segment_clips,
+    )
+
+    sr = 1000  # 1 kHz keeps arrays small; durations stay exact
+    sig = np.arange(25_000, dtype=np.int16)  # 25 s ramp, slice-identifiable
+    clips = spark.createDataFrame(
+        [("c", encode_wav_pcm16(sig, sr), "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+    segs = sorted(segment_clips(clips, segment_ms=10_000).collect(),
+                  key=lambda r: r["segment_idx"])
+    assert [s["dur_ms"] for s in segs] == [10_000, 10_000, 5_000]
+    mid = decode_wav_pcm16(bytes(segs[1]["bytes"]))[1]
+    assert mid[0] == 10_000 and len(mid) == 10_000  # exact source slice
+
+    dropped = segment_clips(clips, segment_ms=10_000, min_tail_ms=6_000).collect()
+    assert [s["segment_idx"] for s in sorted(dropped, key=lambda r: r["segment_idx"])] == [0, 1]
+
+    lapped = segment_clips(clips, segment_ms=10_000, overlap_ms=5_000,
+                           min_tail_ms=5_000).collect()
+    # stride 5 s over 25 s: starts 0,5,10,15 — the 15-25 s segment reaches
+    # the end, so a 20-25 s tail would be fully contained and is not emitted
+    assert len(lapped) == 4
+    assert sorted(r["dur_ms"] for r in lapped) == [10_000] * 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        segment_clips(clips, segment_ms=1000, overlap_ms=1000)
