@@ -203,3 +203,89 @@ def segment_clips(
     return clips.select(
         F.col(id_col), F.col(bytes_col), F.col(codec_col)
     ).mapInPandas(run, SEGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# training augmentation: speed perturbation + deterministic noise injection
+# ---------------------------------------------------------------------------
+
+def speed_perturb(
+    clips: DataFrame,
+    factor: float = 1.1,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Classic speech augmentation (Ko et al. 2015 "Audio augmentation
+    for speech recognition"): resample the samples by 1/factor while
+    KEEPING the declared rate, so playback runs ``factor`` x faster —
+    duration and pitch scale together (0.9/1.0/1.1 is the standard
+    trio). Deterministic; same decode_ok policy as every transform."""
+    if factor <= 0:
+        raise ValueError("factor must be > 0")
+
+    def fn(sr, samples):
+        return sr, resample_linear(samples, sr, max(1, int(round(sr / factor))))
+
+    return _transform_pass(clips, fn, id_col, bytes_col, codec_col)
+
+
+def add_noise(
+    clips: DataFrame,
+    snr_db: float = 20.0,
+    seed: int = 42,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """White-noise augmentation at a target SNR. DETERMINISTIC per
+    (clip_id, seed): the noise stream is seeded from a hash of the id,
+    so re-running the pipeline (or resuming a partition) regenerates the
+    SAME augmented audio — the reproducibility property random()-seeded
+    augmentation lacks under repartitioning. Silent clips pass through
+    (no signal, no SNR to target)."""
+    import zlib
+
+    def run_fn(clip_id: str, sr: int, samples: np.ndarray):
+        f = samples.astype(np.float64)
+        sig_p = float(np.mean(f * f)) if len(f) else 0.0
+        if sig_p <= 0:
+            return sr, samples
+        noise_p = sig_p / (10.0 ** (snr_db / 10.0))
+        rng = np.random.RandomState(
+            (zlib.crc32(clip_id.encode()) ^ seed) & 0x7FFFFFFF
+        )
+        noisy = f + rng.randn(len(f)) * np.sqrt(noise_p)
+        return sr, np.clip(np.round(noisy), -32768, 32767).astype(np.int16)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms",
+                                   "codec", "decode_ok")}
+            for i in range(len(pdf)):
+                cid = str(pdf[id_col].iat[i])
+                out["clip_id"].append(cid)
+                try:
+                    sr, samples = decode(
+                        bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
+                    )
+                    sr2, samples2 = run_fn(cid, sr, samples)
+                    out["bytes"].append(encode_wav_pcm16(samples2, sr2))
+                    out["sr_hz"].append(sr2)
+                    out["dur_ms"].append(int(round(len(samples2) * 1000 / sr2)))
+                    out["codec"].append("pcm_s16le")
+                    out["decode_ok"].append(True)
+                except (ValueError, TypeError):
+                    for k in ("bytes", "sr_hz", "dur_ms", "codec"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame({
+                "clip_id": out["clip_id"], "bytes": out["bytes"],
+                "sr_hz": pd.array(out["sr_hz"], dtype="Int32"),
+                "dur_ms": pd.array(out["dur_ms"], dtype="Int32"),
+                "codec": out["codec"], "decode_ok": out["decode_ok"],
+            })
+
+    return clips.select(
+        F.col(id_col), F.col(bytes_col), F.col(codec_col)
+    ).mapInPandas(run, TRANSFORMED_SCHEMA)

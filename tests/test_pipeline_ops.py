@@ -953,3 +953,51 @@ def test_audio_segmentation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         segment_clips(clips, segment_ms=1000, overlap_ms=1000)
+
+
+def test_audio_augmentation_speed_and_noise(spark):
+    """speed_perturb: factor 2 halves duration and doubles the tone's
+    cycles/sec at constant declared rate; add_noise: measured SNR within
+    1 dB of target and BIT-IDENTICAL across re-runs (deterministic per
+    clip_id+seed); silence passes through noise-free."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        snr_db,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_transform import (
+        add_noise,
+        speed_perturb,
+    )
+
+    sr = 16000
+    t = np.arange(sr)
+    sine = (8000 * np.sin(2 * np.pi * 400 * t / sr)).astype(np.int16)
+    clips = spark.createDataFrame(
+        [("s", encode_wav_pcm16(sine, sr), "pcm_s16le"),
+         ("z", encode_wav_pcm16(np.zeros(sr, dtype=np.int16), sr), "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+
+    fast = {r["clip_id"]: r for r in speed_perturb(clips, factor=2.0).collect()}
+    assert fast["s"]["sr_hz"] == sr and abs(fast["s"]["dur_ms"] - 500) <= 1
+    _, out = decode_wav_pcm16(bytes(fast["s"]["bytes"]))
+    zc_per_sec = float(np.mean(np.signbit(out[1:].astype(float))
+                               != np.signbit(out[:-1].astype(float)))) * sr
+    assert abs(zc_per_sec - 1600) < 80  # 400 Hz tone now plays at 800 Hz
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        speed_perturb(clips, factor=0)
+
+    n1 = {r["clip_id"]: bytes(r["bytes"]) for r in add_noise(clips, snr_db=20.0).collect()}
+    n2 = {r["clip_id"]: bytes(r["bytes"]) for r in
+          add_noise(clips.repartition(3), snr_db=20.0).collect()}
+    assert n1 == n2  # deterministic under re-run AND repartitioning
+    _, noisy = decode_wav_pcm16(n1["s"])
+    measured = snr_db(sine, noisy)
+    assert abs(measured - 20.0) < 1.0
+    _, still_silent = decode_wav_pcm16(n1["z"])
+    assert not still_silent.any()  # no gain fixes silence; passes through
