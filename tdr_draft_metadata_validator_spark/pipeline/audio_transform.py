@@ -61,7 +61,11 @@ def resample_linear(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray
     polyphase filter when available; otherwise np.interp — adequate for
     speech-rate conversions, aliases on downsample of full-band content
     (documented, not hidden)."""
-    if sr_from == sr_to:
+    if sr_from == sr_to or len(samples) == 0:
+        # empty is a VALID clip (0-byte data chunk): pass through so the
+        # caller reports decode_ok=True, consistent with the same-rate
+        # short-circuit (np.interp would raise on empty sample points and
+        # the shared pass would mislabel the clip as undecodable)
         return samples
     if _resample_poly is not None:
         out = _resample_poly(samples.astype(np.float64), sr_to, sr_from)
@@ -75,20 +79,22 @@ def resample_linear(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray
 
 def _transform_pass(clips: DataFrame, fn, id_col: str, bytes_col: str,
                     codec_col: str) -> DataFrame:
-    """Shared decode -> fn(sr, samples) -> (sr', samples') -> WAV re-encode
-    pass for the 1:1 transforms."""
+    """Shared decode -> fn(clip_id, sr, samples) -> (sr', samples') -> WAV
+    re-encode pass for the 1:1 transforms (clip_id is threaded so
+    per-row-deterministic transforms like add_noise can seed from it)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms",
                                    "codec", "decode_ok")}
             for i in range(len(pdf)):
-                out["clip_id"].append(str(pdf[id_col].iat[i]))
+                cid = str(pdf[id_col].iat[i])
+                out["clip_id"].append(cid)
                 try:
                     sr, samples = decode(
                         bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
                     )
-                    sr2, samples2 = fn(sr, samples)
+                    sr2, samples2 = fn(cid, sr, samples)
                     out["bytes"].append(encode_wav_pcm16(samples2, sr2))
                     out["sr_hz"].append(sr2)
                     out["dur_ms"].append(int(round(len(samples2) * 1000 / sr2)))
@@ -122,8 +128,10 @@ def resample_clips(
     pre-training step for speech models. -> canonical clips columns
     (clip_id, bytes WAV/PCM16 @ target_sr, sr_hz, dur_ms, codec,
     decode_ok)."""
+    if target_sr <= 0:
+        raise ValueError("target_sr must be > 0")
     return _transform_pass(
-        clips, lambda sr, s: (target_sr, resample_linear(s, sr, target_sr)),
+        clips, lambda _cid, sr, s: (target_sr, resample_linear(s, sr, target_sr)),
         id_col, bytes_col, codec_col,
     )
 
@@ -141,7 +149,7 @@ def normalize_loudness(
     silence; the quality filter owns them)."""
     target = 32768.0 * (10.0 ** (target_rms_db / 20.0))
 
-    def fn(sr, samples):
+    def fn(_cid, sr, samples):
         f = samples.astype(np.float64)
         rms = float(np.sqrt(np.mean(f * f))) if len(f) else 0.0
         if rms <= 0:
@@ -169,6 +177,10 @@ def segment_clips(
     sr_hz, dur_ms, codec)."""
     if overlap_ms >= segment_ms:
         raise ValueError("overlap_ms must be < segment_ms (stride must advance)")
+    if min_tail_ms > segment_ms:
+        # segment 1..N would each be "shorter than min_tail" the moment the
+        # clip ends, silently discarding everything after segment 0
+        raise ValueError("min_tail_ms must be <= segment_ms")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,8 +193,11 @@ def segment_clips(
                     )
                 except (ValueError, TypeError):
                     continue
-                seg = int(sr * segment_ms / 1000)
-                stride = seg - int(sr * overlap_ms / 1000)
+                # per-row clamps: sr comes from the DECODED payload, so a
+                # valid-but-odd clip (sr=1) can truncate seg/stride to 0 —
+                # range(..., 0) raising OUTSIDE the try would kill the task
+                seg = max(1, int(sr * segment_ms / 1000))
+                stride = max(1, seg - int(sr * overlap_ms / 1000))
                 min_tail = int(sr * min_tail_ms / 1000)
                 idx = 0
                 for start in range(0, max(len(samples), 1), stride):
@@ -224,7 +239,7 @@ def speed_perturb(
     if factor <= 0:
         raise ValueError("factor must be > 0")
 
-    def fn(sr, samples):
+    def fn(_cid, sr, samples):
         return sr, resample_linear(samples, sr, max(1, int(round(sr / factor))))
 
     return _transform_pass(clips, fn, id_col, bytes_col, codec_col)
@@ -246,7 +261,7 @@ def add_noise(
     (no signal, no SNR to target)."""
     import zlib
 
-    def run_fn(clip_id: str, sr: int, samples: np.ndarray):
+    def fn(clip_id, sr, samples):
         f = samples.astype(np.float64)
         sig_p = float(np.mean(f * f)) if len(f) else 0.0
         if sig_p <= 0:
@@ -258,34 +273,5 @@ def add_noise(
         noisy = f + rng.randn(len(f)) * np.sqrt(noise_p)
         return sr, np.clip(np.round(noisy), -32768, 32767).astype(np.int16)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("clip_id", "bytes", "sr_hz", "dur_ms",
-                                   "codec", "decode_ok")}
-            for i in range(len(pdf)):
-                cid = str(pdf[id_col].iat[i])
-                out["clip_id"].append(cid)
-                try:
-                    sr, samples = decode(
-                        bytes(pdf[bytes_col].iat[i]), str(pdf[codec_col].iat[i])
-                    )
-                    sr2, samples2 = run_fn(cid, sr, samples)
-                    out["bytes"].append(encode_wav_pcm16(samples2, sr2))
-                    out["sr_hz"].append(sr2)
-                    out["dur_ms"].append(int(round(len(samples2) * 1000 / sr2)))
-                    out["codec"].append("pcm_s16le")
-                    out["decode_ok"].append(True)
-                except (ValueError, TypeError):
-                    for k in ("bytes", "sr_hz", "dur_ms", "codec"):
-                        out[k].append(None)
-                    out["decode_ok"].append(False)
-            yield pd.DataFrame({
-                "clip_id": out["clip_id"], "bytes": out["bytes"],
-                "sr_hz": pd.array(out["sr_hz"], dtype="Int32"),
-                "dur_ms": pd.array(out["dur_ms"], dtype="Int32"),
-                "codec": out["codec"], "decode_ok": out["decode_ok"],
-            })
+    return _transform_pass(clips, fn, id_col, bytes_col, codec_col)
 
-    return clips.select(
-        F.col(id_col), F.col(bytes_col), F.col(codec_col)
-    ).mapInPandas(run, TRANSFORMED_SCHEMA)

@@ -1001,3 +1001,38 @@ def test_audio_augmentation_speed_and_noise(spark):
     assert abs(measured - 20.0) < 1.0
     _, still_silent = decode_wav_pcm16(n1["z"])
     assert not still_silent.any()  # no gain fixes silence; passes through
+
+
+def test_audio_transform_guards_and_empty_clip(spark):
+    """Review r3c regressions: bad params refuse at the DRIVER; a valid
+    zero-sample WAV stays decode_ok=True through resample; an sr=1 clip
+    cannot zero the segmentation stride (task-crash path)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        encode_wav_pcm16,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_transform import (
+        resample_clips,
+        segment_clips,
+    )
+
+    empty = encode_wav_pcm16(np.zeros(0, dtype=np.int16), 16000)
+    srone = encode_wav_pcm16(np.arange(30, dtype=np.int16), 1)
+    clips = spark.createDataFrame(
+        [("e", empty, "pcm_s16le"), ("one", srone, "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+    with _pytest.raises(ValueError):
+        resample_clips(clips, target_sr=0)
+    with _pytest.raises(ValueError):
+        segment_clips(clips, segment_ms=10_000, min_tail_ms=20_000)
+
+    rows = {r["clip_id"]: r for r in resample_clips(clips, target_sr=8000).collect()}
+    assert rows["e"]["decode_ok"] is True and rows["e"]["dur_ms"] == 0
+
+    # sr=1 clip: stride clamps to >=1 instead of range(...,0) killing the task
+    segs = segment_clips(clips, segment_ms=10_500, overlap_ms=10_000,
+                         min_tail_ms=500).collect()
+    assert all(r["clip_id"] == "one" for r in segs) and segs
