@@ -635,6 +635,32 @@ def q_range_join(spark, sf):
     )
 
 
+def q_verified_near_dup_pairs(spark, sf):
+    """The recipe's near-dedup core, oracle-checked end to end: MinHash
+    LSH candidates (md5 lanes) verified with EXACT token-set Jaccard on
+    only those pairs (dedup.verify_pairs_jaccard — O(|candidates|), the
+    scale shape)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=1,
+                                        lane="md5")
+    return dedup.verify_pairs_jaccard(docs, cand, threshold=0.5, n=1)
+
+
+def q_near_dedup_keep_set(spark, sf):
+    """THE full near-dedup sweep, oracle-checked end to end: LSH
+    candidates -> exact-Jaccard verify -> connected components -> keep
+    the min-id representative per component plus every unpaired doc.
+    Oracle = recursive-CTE closure over the SQL-replicated verified
+    pairs (an iterative distributed algorithm composed with two
+    candidate/verify stages, all value-checked)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, n=1,
+                                        lane="md5")
+    verified = dedup.verify_pairs_jaccard(docs, cand, threshold=0.5, n=1)
+    kept = dedup.drop_near_duplicates(docs, verified)
+    return kept.select("doc_id")
+
+
 def q_minhash_lsh_candidates(spark, sf):
     """MinHash LSH banding candidates. Fully oracle-checked: the md5
     signature lanes and the per-band md5-of-joined-lanes are both
@@ -683,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "verified_near_dup_pairs": q_verified_near_dup_pairs,
+        "near_dedup_keep_set": q_near_dedup_keep_set,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -980,8 +1008,60 @@ def _ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     """
 
 
+def _verified_near_dup_sql() -> str:
+    """LSH candidates (the _minhash_lsh_sql plan as a subquery) verified
+    with exact token-set Jaccard — the DuckDB replica of
+    verify_pairs_jaccard over minhash_lsh_candidates."""
+    lsh = _minhash_lsh_sql(16, 4)
+    return f"""
+    WITH cand AS ({lsh}),
+    t AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             list_distinct(string_split({_NORM}, ' ')) AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.toks, b.toks)) AS common,
+             len(a.toks) AS sz_a, len(b.toks) AS sz_b
+      FROM cand c JOIN t a ON c.id_a = a.id JOIN t b ON c.id_b = b.id
+    )
+    SELECT id_a, id_b,
+           round(common / (sz_a + sz_b - common)::DOUBLE, 6) AS jaccard
+    FROM j
+    WHERE round(common / (sz_a + sz_b - common)::DOUBLE, 6) >= 0.5
+    """
+
+
+def _near_dedup_keep_sql() -> str:
+    """Recursive-CTE transitive closure over the verified pairs -> keep
+    min-id per component + unpaired docs (drop_near_duplicates replica)."""
+    verified = _verified_near_dup_sql()
+    return f"""
+    WITH RECURSIVE pairs AS ({verified}),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    v AS (SELECT DISTINCT a AS id FROM e),
+    reach(src, dst) AS (
+      SELECT id, id FROM v
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+    losers AS (SELECT id FROM comp WHERE id != component)
+    SELECT doc_id FROM documents
+    WHERE doc_id < 200
+      AND CAST(doc_id AS VARCHAR) NOT IN (SELECT id FROM losers)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = _oracle_sqls()
+    sqls["verified_near_dup_pairs"] = _verified_near_dup_sql()
+    sqls["near_dedup_keep_set"] = _near_dedup_keep_sql()
     # the star method must produce byte-identical labels to min-label:
     # same recursive-CTE transitive-closure oracle
     sqls["near_dup_components_star"] = sqls["near_dup_components"]
