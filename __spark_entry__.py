@@ -750,7 +750,9 @@ def production_overrides() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     def p_hash_split(spark, sf):
         docs = _t(spark, sf, "documents")
-        return text.hash_split(docs).select("doc_id", "split")
+        # the xxhash64 lane is an explicit opt-in: hash_split's DEFAULT is
+        # md5 so existing corpus splits can't re-roll on upgrade
+        return text.hash_split(docs, lane="xxhash64").select("doc_id", "split")
 
     def p_pack_sequences(spark, sf):
         docs = _t(spark, sf, "documents")

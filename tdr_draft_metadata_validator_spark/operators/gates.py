@@ -29,6 +29,24 @@ from ..models import (
 EXPECTED_COLUMNS = ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
 REQUIRED_COLUMNS = EXPECTED_COLUMNS
 
+# Parse caches left alive by invalid_csv_gate's clean path (the gate must
+# materialize the parsed frame; keeping it saves downstream re-parses).
+# Registered here so release is an API CALL, not docstring discipline —
+# a long-lived session ingesting many CSVs calls release_parse_caches()
+# once its run's outputs have materialized.
+_live_parse_caches: list[DataFrame] = []
+
+
+def release_parse_caches() -> int:
+    """Unpersist every parse cache the clean CSV path left alive and
+    empty the registry. Returns how many were released. Idempotent;
+    safe to call from a finally block after each ingest batch."""
+    n = len(_live_parse_caches)
+    for df in _live_parse_caches:
+        df.unpersist()
+    _live_parse_caches.clear()
+    return n
+
 
 @dataclass
 class GateFailure:
@@ -150,15 +168,16 @@ def invalid_csv_gate(df: DataFrame, consignment_id: str) -> GateFailure | None:
     # COLUMN); the documented pattern is to cache the parsed frame first.
     # On the CLEAN path the cache is LEFT ALIVE: downstream checks derive
     # from the same plan and hit the InMemoryRelation instead of
-    # re-parsing the file (test_csv_clean_path_reuses_parse_cache).
-    # OWNERSHIP: the CALLER releases it — `df.unpersist()` once the run's
-    # outputs have materialized (load_clips_csv documents this; a
-    # long-lived session ingesting many CSVs would otherwise accumulate
-    # one cached file per ingest). On the failure path the run
-    # short-circuits, so the cache is dropped here.
+    # re-parsing the file (test_csv_clean_path_reuses_parse_cache). The
+    # live cache is REGISTERED in _live_parse_caches so ownership is an
+    # API contract, not a docstring: callers (validate.py does this) run
+    # release_parse_caches() once the run's outputs have materialized.
+    # On the failure path the run short-circuits, so the cache is
+    # dropped here.
     cached = df.cache()
     n_bad = cached.where(F.col("_corrupt_record").isNotNull()).limit(1).count()
     if not n_bad:
+        _live_parse_caches.append(cached)
         return None
     cached.unpersist()
     err = Error("FILE_CHECK", consignment_id, "INVALID_CSV",

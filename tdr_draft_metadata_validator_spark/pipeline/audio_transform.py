@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.audio_codec import decode, encode_wav_pcm16
 
-try:  # real polyphase resampling when scipy exists (not in this image)
+try:  # backs the EXPLICIT method='poly' path only — never auto-selected
     from scipy.signal import resample_poly as _resample_poly
 except ImportError:  # pragma: no cover - environment-dependent
     _resample_poly = None
@@ -56,18 +56,33 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
-def resample_linear(samples: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
-    """Linear-interpolation resample (int16 -> int16). Uses scipy's
-    polyphase filter when available; otherwise np.interp — adequate for
-    speech-rate conversions, aliases on downsample of full-band content
-    (documented, not hidden)."""
+def resample_linear(samples: np.ndarray, sr_from: int, sr_to: int,
+                    method: str = "linear") -> np.ndarray:
+    """Resample int16 -> int16. ``method`` is EXPLICIT — it never switches
+    on what happens to be importable, because the output bytes (and the
+    envelope fingerprints derived from them) must be bit-reproducible
+    across environments:
+
+    - ``"linear"`` (default): np.interp — pure numpy, identical bytes
+      everywhere; adequate for speech-rate conversions, aliases on
+      downsample of full-band content (documented, not hidden).
+    - ``"poly"``: scipy's polyphase filter (better anti-aliasing); raises
+      ImportError when scipy is absent rather than silently degrading.
+    """
+    if method not in ("linear", "poly"):
+        raise ValueError(f"unknown resample method {method!r}; 'linear' or 'poly'")
     if sr_from == sr_to or len(samples) == 0:
         # empty is a VALID clip (0-byte data chunk): pass through so the
         # caller reports decode_ok=True, consistent with the same-rate
         # short-circuit (np.interp would raise on empty sample points and
         # the shared pass would mislabel the clip as undecodable)
         return samples
-    if _resample_poly is not None:
+    if method == "poly":
+        if _resample_poly is None:
+            raise ImportError(
+                "resample method='poly' needs scipy.signal.resample_poly; "
+                "use method='linear' (the reproducible default) instead"
+            )
         out = _resample_poly(samples.astype(np.float64), sr_to, sr_from)
         return np.clip(np.round(out), -32768, 32767).astype(np.int16)
     n_out = max(1, int(round(len(samples) * sr_to / sr_from)))
@@ -123,15 +138,18 @@ def resample_clips(
     id_col: str = "clip_id",
     bytes_col: str = "bytes",
     codec_col: str = "codec",
+    method: str = "linear",
 ) -> DataFrame:
     """Normalize a mixed-rate corpus to one sample rate — the standard
-    pre-training step for speech models. -> canonical clips columns
-    (clip_id, bytes WAV/PCM16 @ target_sr, sr_hz, dur_ms, codec,
-    decode_ok)."""
+    pre-training step for speech models. ``method`` picks the resampler
+    explicitly (:func:`resample_linear`) so output bytes are reproducible
+    across environments. -> canonical clips columns (clip_id, bytes
+    WAV/PCM16 @ target_sr, sr_hz, dur_ms, codec, decode_ok)."""
     if target_sr <= 0:
         raise ValueError("target_sr must be > 0")
     return _transform_pass(
-        clips, lambda _cid, sr, s: (target_sr, resample_linear(s, sr, target_sr)),
+        clips,
+        lambda _cid, sr, s: (target_sr, resample_linear(s, sr, target_sr, method)),
         id_col, bytes_col, codec_col,
     )
 
@@ -230,17 +248,21 @@ def speed_perturb(
     id_col: str = "clip_id",
     bytes_col: str = "bytes",
     codec_col: str = "codec",
+    method: str = "linear",
 ) -> DataFrame:
     """Classic speech augmentation (Ko et al. 2015 "Audio augmentation
     for speech recognition"): resample the samples by 1/factor while
     KEEPING the declared rate, so playback runs ``factor`` x faster —
     duration and pitch scale together (0.9/1.0/1.1 is the standard
-    trio). Deterministic; same decode_ok policy as every transform."""
+    trio). Deterministic (``method`` is explicit — resample_linear);
+    same decode_ok policy as every transform."""
     if factor <= 0:
         raise ValueError("factor must be > 0")
 
     def fn(_cid, sr, samples):
-        return sr, resample_linear(samples, sr, max(1, int(round(sr / factor))))
+        return sr, resample_linear(
+            samples, sr, max(1, int(round(sr / factor))), method
+        )
 
     return _transform_pass(clips, fn, id_col, bytes_col, codec_col)
 

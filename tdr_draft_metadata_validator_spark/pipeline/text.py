@@ -129,21 +129,23 @@ def hash_split(
     key_col: str = "doc_id",
     seed: int = 13,
     buckets: int = 10_000,
-    lane: str = "xxhash64",
+    lane: str = "md5",
 ) -> DataFrame:
     """Deterministic train/val/test assignment by key hash — the split is
     a pure function of the key, so it is stable across runs, cluster
     sizes, and table re-partitioning (the property random() splits lack),
     and a doc can never leak between splits on re-runs.
 
-    ``lane="xxhash64"`` (default) is the production hash — one JVM-side
-    integer hash per row; ``lane="md5"`` is the engine-portable variant
-    the DuckDB oracle reproduces bit-for-bit (dedup module docstring).
-    Both are pure functions of the key; pick ONE per corpus and keep it
-    (changing lanes re-rolls the split). MIGRATION NOTE: the default
-    changed md5 -> xxhash64 in engine 0.3 — a corpus split under <= 0.2
-    defaults must pin ``lane="md5"`` to preserve its assignments, or
-    docs move between train/test on the re-run. -> docs + ``split``.
+    ``lane="md5"`` (default) is the ORIGINAL, engine-portable lane (the
+    DuckDB oracle reproduces it bit-for-bit; dedup module docstring) and
+    it STAYS the default on purpose: a split assignment is corpus
+    identity, and a silent default change would re-roll every existing
+    corpus's train/test membership on upgrade — an eval-leakage hazard.
+    ``lane="xxhash64"`` is the cheaper production hash (one JVM-side
+    integer hash per row, no md5 string materialization); opting in is an
+    EXPLICIT, per-corpus decision because it re-rolls the split — never
+    switch lanes on a corpus that already has downstream eval results.
+    -> docs + ``split``.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     bucket = F.pmod(_key_lane(key_col, seed, lane), F.lit(buckets))

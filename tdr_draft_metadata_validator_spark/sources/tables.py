@@ -100,9 +100,11 @@ def load_clips_csv(
       column is left on the frame for the caller's own gate check.
     - CACHE OWNERSHIP: on the clean gated path the parsed frame stays
       CACHED (the gate must materialize it; keeping it saves downstream
-      re-parses). The caller owns the release — call ``df.unpersist()``
-      when the run's outputs have materialized; long-lived sessions
-      ingesting many CSVs must do so or cached files accumulate.
+      re-parses) and is REGISTERED in the gates module's live-cache list.
+      Release is an API call, not docstring discipline: run
+      ``operators.gates.release_parse_caches()`` once the run's outputs
+      have materialized (validate.py does; long-lived sessions ingesting
+      many CSVs must, or cached files accumulate).
     """
     if consignment_id is not None:
         from ..operators.gates import GateTripped, invalid_csv_gate, utf8_file_gate

@@ -185,6 +185,26 @@ def test_csv_clean_path_reuses_parse_cache(spark, tmp_path):
         spark.catalog.clearCache()
 
 
+def test_release_parse_caches_drops_clean_path_cache(spark, tmp_path):
+    """Cache ownership is an API contract (ADVICE r3): the clean-path
+    parse cache registers itself and release_parse_caches() unpersists it
+    — long-lived multi-ingest sessions call this instead of relying on
+    docstring discipline. Idempotent: second call releases nothing."""
+    from tdr_draft_metadata_validator_spark.operators import gates
+
+    gates.release_parse_caches()  # start from a clean registry
+    path = _write(tmp_path, "clean2.csv",
+                  "Clip ID,Sample Rate,Duration,Codec,Transcript\n"
+                  "clip/a.wav,16000,500,flac,hi\n")
+    load_clips_csv(spark, path, MAPPING, consignment_id=CID)
+    assert len(gates._live_parse_caches) == 1
+    cached = gates._live_parse_caches[0]
+    assert cached.storageLevel.useMemory
+    assert gates.release_parse_caches() == 1
+    assert not cached.storageLevel.useMemory
+    assert gates.release_parse_caches() == 0
+
+
 def test_multi_format_sources_orc_and_json(spark, tmp_path):
     """read_clips handles orc (self-describing, binary-safe) and json
     (explicit schema applied; bytes ride base64) with identical rows."""

@@ -1036,3 +1036,30 @@ def test_audio_transform_guards_and_empty_clip(spark):
     segs = segment_clips(clips, segment_ms=10_500, overlap_ms=10_000,
                          min_tail_ms=500).collect()
     assert all(r["clip_id"] == "one" for r in segs) and segs
+
+
+def test_resample_method_is_explicit_never_import_dependent():
+    """ADVICE r3: the resampler must not silently switch on scipy
+    availability — method='linear' is pure numpy (same bytes in every
+    environment); method='poly' raises ImportError when scipy is absent
+    instead of degrading; unknown methods refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.pipeline import audio_transform as at
+
+    s = (np.sin(np.arange(400) * 0.1) * 3000).astype(np.int16)
+    lin = at.resample_linear(s, 16000, 8000)  # default = linear
+    assert lin.dtype == np.int16 and len(lin) == 200
+    # explicit 'linear' matches the default bit-for-bit
+    assert np.array_equal(lin, at.resample_linear(s, 16000, 8000, method="linear"))
+    with _pytest.raises(ValueError):
+        at.resample_linear(s, 16000, 8000, method="cubic")
+    if at._resample_poly is None:  # this image: scipy absent
+        with _pytest.raises(ImportError):
+            at.resample_linear(s, 16000, 8000, method="poly")
+    else:  # pragma: no cover - env-dependent
+        poly = at.resample_linear(s, 16000, 8000, method="poly")
+        assert poly.dtype == np.int16
+        # and 'poly' being available must NOT change the default lane
+        assert np.array_equal(lin, at.resample_linear(s, 16000, 8000))

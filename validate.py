@@ -32,8 +32,13 @@ def main(argv=None):
     p.add_argument("--ref", help="reference table path")
     p.add_argument("--table-format", default="parquet",
                    choices=("parquet", "orc", "json", "avro"),
-                   help="on-disk format for --table/--ref plain-path mode "
+                   help="on-disk format for --table plain-path mode "
                         "(iceberg:/snap: modes carry their own format)")
+    p.add_argument("--ref-format", default=None,
+                   choices=("parquet", "orc", "json", "avro"),
+                   help="on-disk format for --ref (defaults to "
+                        "--table-format); lets a JSON clips table validate "
+                        "against a parquet reference and vice versa")
     p.add_argument("--output", default="./validation-out")
     p.add_argument("--checkpoint", help="lineage manifest dir (enables resume)")
     p.add_argument("--run-id", default="run-0")
@@ -142,8 +147,9 @@ def main(argv=None):
     else:
         incremental_drift_frame = None
 
+    ref_format = args.ref_format or args.table_format
     ref = (
-        read_ref_clips(spark, args.ref, args.table_format) if args.ref else None
+        read_ref_clips(spark, args.ref, ref_format) if args.ref else None
     )
     ref_full = ref
     if ref is not None and args.since_snapshot is not None:
@@ -364,6 +370,11 @@ def main(argv=None):
     }))
     for m in mergeds:
         m.unpersist()  # engine persists each chunk's merge; done with all
+    from tdr_draft_metadata_validator_spark.operators.gates import (
+        release_parse_caches,
+    )
+
+    release_parse_caches()  # drop any CSV parse cache the ingest gate kept
     if not preexisting:
         spark.stop()
     return 0 if passed else 1
