@@ -452,6 +452,27 @@ def q_pack_sequences(spark, sf):
     return text.pack_sequences(docs, budget_tokens=200, n_groups=8, lane="md5")
 
 
+def q_pack_sequences_split(spark, sf):
+    """Split-pure packing (judge r3 task 1): group_cols=["split"] makes
+    the packing window partition by (split, group), so no bin can mix
+    train/test text — bin purity is structural, not filtered."""
+    docs = _t(spark, sf, "documents")
+    split = text.hash_split(docs, lane="md5")
+    return text.pack_sequences(
+        split, budget_tokens=200, n_groups=8, lane="md5", group_cols=["split"]
+    )
+
+
+def q_pack_sequences_bpe(spark, sf):
+    """Budget-unit-aware packing (judge r3 task 6): budgets bind in
+    BPE-ish pieces (bpe_ish_token_count) instead of whitespace tokens."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return text.pack_sequences(
+        docs, budget_tokens=200, n_groups=8, lane="md5",
+        token_fn=text.bpe_ish_token_count,
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling by key-hash bucket: en 50% /
     de 10%; pure function of the key, repartition-invariant."""
@@ -700,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "extract_domains": q_extract_domains,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_split": q_pack_sequences_split,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         "stratified_sample": q_stratified_sample,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1404,6 +1427,44 @@ def _oracle_sqls() -> dict[str, str]:
                           ELSE len(string_split({_NORM}, ' ')) END AS n_tokens,
                      CAST({_LANE.format(seed="'17'", x="CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS grp
               FROM documents
+            )
+            SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, grp AS "group",
+                   CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY grp ORDER BY id)
+                               - least(n_tokens, 200)) / 200.0) AS BIGINT) AS bin
+            FROM d
+        """,
+        "pack_sequences_split": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN b < 9000 THEN 'train'
+                          WHEN b < 9500 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5('13' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+                FROM documents
+              )
+            ),
+            d AS (
+              SELECT CAST(s.doc_id AS VARCHAR) AS id, s.split,
+                     CASE WHEN {_NORM} IS NULL OR {_NORM} = '' THEN 0
+                          ELSE len(string_split({_NORM}, ' ')) END AS n_tokens,
+                     CAST({_LANE.format(seed="'17'", x="CAST(s.doc_id AS VARCHAR)")} % 8 AS INT) AS grp
+              FROM s JOIN documents USING (doc_id)
+            )
+            SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, split,
+                   split || '/' || CAST(grp AS VARCHAR) AS "group",
+                   CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY split, grp ORDER BY id)
+                               - least(n_tokens, 200)) / 200.0) AS BIGINT) AS bin
+            FROM d
+        """,
+        "pack_sequences_bpe": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     coalesce(len(regexp_extract_all(lower(text),
+                         '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')), 0) AS n_tokens,
+                     CAST({_LANE.format(seed="'17'", x="CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS grp
+              FROM documents WHERE doc_id < 300
             )
             SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, grp AS "group",
                    CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY grp ORDER BY id)

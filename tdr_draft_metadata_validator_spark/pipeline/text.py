@@ -244,6 +244,8 @@ def pack_sequences(
     text_col: str = "text",
     seed: int = 17,
     lane: str = "xxhash64",
+    group_cols: list[str] | tuple[str, ...] | None = None,
+    token_fn=None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins (LLM batch
     packing): deterministic contiguous first-fit — docs fill a bin in id
@@ -254,26 +256,51 @@ def pack_sequences(
     ids stay DENSE from 0 per group — splitting oversized docs is the
     tokenizer/chunker stage's job, not the packer's.
 
+    ``group_cols`` lists EXTRA partition columns the packing must never
+    mix across — above all the train/val/test ``split`` column: a bin is
+    a training batch, so a bin straddling splits either leaks eval text
+    into training or leaves budget holes. The window partitions by
+    (*group_cols, hash-group), the columns ride through to the output,
+    AND the emitted ``group`` id becomes the composite string
+    ``"<vals>/<hash-group>"`` (e.g. ``"train/3"``) — so (group, bin)
+    ALONE identifies a pure batch; a consumer that batches by
+    (group, bin) cannot mix splits even if it ignores the split column.
+    Without ``group_cols`` the group id stays the bare int hash-group.
+
+    ``token_fn`` picks the budget UNIT: a Column->Column token counter,
+    default :func:`token_count` (whitespace); pass
+    :func:`bpe_ish_token_count` to budget in BPE-ish pieces — budgets
+    must bind in the unit the trainer consumes, or bins systematically
+    overflow on punctuation/digit-heavy text.
+
     Scale shape: packing is inherently sequential, so a single global
     cumsum would serialize on one task. Instead docs are first hashed
     into ``n_groups`` independent packing GROUPS (deterministic key
-    lane), and the cumulative sum windows per group — n_groups-way
-    parallel, one shuffle, and bin ids (group, bin) are stable under any
+    lane), and the cumulative sum windows per (group_cols..., group) —
+    n_groups-way parallel, one shuffle, and bin ids are stable under any
     input partitioning. At 10^12 rows pick n_groups ~ cluster cores.
 
-    -> (id, n_tokens, group, bin). ``lane="md5"`` for oracle parity.
+    -> (id, n_tokens, *group_cols, group, bin). ``lane="md5"`` for
+    oracle parity.
     """
-    w = Window.partitionBy("group").orderBy("id")
-    toks = token_count(F.col(text_col))
+    extra = list(group_cols or [])
+    toks = (token_fn or token_count)(F.col(text_col))
+    g = F.pmod(_key_lane(id_col, seed, lane), F.lit(n_groups)).cast("int")
+    if extra:
+        g = F.concat_ws(
+            "/", *[F.col(c).cast("string") for c in extra], g.cast("string")
+        )
     base = docs.select(
         F.col(id_col).cast("string").alias("id"),
         toks.cast("long").alias("n_tokens"),
-        F.pmod(_key_lane(id_col, seed, lane), F.lit(n_groups)).cast("int").alias("group"),
+        *extra,
+        g.alias("group"),
     )
+    w = Window.partitionBy("group").orderBy("id")
     contrib = F.least(F.col("n_tokens"), F.lit(budget_tokens))
     cum = F.sum(contrib).over(w)
     return base.select(
-        "id", "n_tokens", "group",
+        "id", "n_tokens", *extra, "group",
         F.floor((cum - contrib) / budget_tokens).cast("long").alias("bin"),
     )
 
