@@ -444,6 +444,37 @@ def q_extract_domains(spark, sf):
     return text.extract_domains(aug)
 
 
+def q_rebalance_domains(spark, sf):
+    """Domain-mixture reweighting (judge r3 task 8): primary-domain
+    labeling (most-frequent host, ties -> lexicographic min, no-URL ->
+    'none'), per-domain counts, max-feasible-size fractions
+    w_d*T/count_d with T = min(count_d/w_d), deterministic hash
+    sampling. Weights are exact-binary (0.5/0.25) so the driver-side
+    fraction arithmetic replicates bit-for-bit in DuckDB doubles."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    urls = F.concat(
+        F.lit(" https://s"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".site.org/a https://s"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".site.org/b"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" https://t.alpha.org/x https://t.alpha.org/y")
+               ).otherwise(F.lit("")),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(urls),
+        ).alias("text"),
+    )
+    out = text.rebalance_domains(
+        aug,
+        {"s0.site.org": 0.5, "s1.site.org": 0.25, "s2.site.org": 0.25},
+        lane="md5",
+    )
+    return out.select("doc_id", "domain")
+
+
 def q_pack_sequences(spark, sf):
     """LLM batch packing: contiguous first-fit token bins within hashed
     packing groups (window cumsum — n_groups-way parallel; md5 lane for
@@ -720,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "redact_pii": q_redact_pii,
         "extract_domains": q_extract_domains,
+        "rebalance_domains": q_rebalance_domains,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_split": q_pack_sequences_split,
         "pack_sequences_bpe": q_pack_sequences_bpe,
@@ -1432,6 +1464,57 @@ def _oracle_sqls() -> dict[str, str]:
                    CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY grp ORDER BY id)
                                - least(n_tokens, 200)) / 200.0) AS BIGINT) AS bin
             FROM d
+        """,
+        "rebalance_domains": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0 THEN ''
+                       ELSE ' https://s' || CAST(doc_id % 4 AS VARCHAR) || '.site.org/a' ||
+                            ' https://s' || CAST(doc_id % 4 AS VARCHAR) || '.site.org/b' ||
+                            CASE WHEN doc_id % 3 = 0
+                                 THEN ' https://t.alpha.org/x https://t.alpha.org/y'
+                                 ELSE '' END
+                       END AS text
+              FROM documents WHERE doc_id < 400
+            ),
+            u AS (
+              SELECT id, lower(regexp_extract(url, 'https?://([^/:\\s]+)', 1)) AS domain
+              FROM (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       unnest(regexp_extract_all(text, 'https?://[^\\s"''<>]+')) AS url
+                FROM aug
+              )
+              WHERE lower(regexp_extract(url, 'https?://([^/:\\s]+)', 1)) != ''
+            ),
+            cnt AS (SELECT id, domain, count(*) AS n FROM u GROUP BY id, domain),
+            prim AS (
+              SELECT id, domain FROM (
+                SELECT id, domain,
+                       row_number() OVER (PARTITION BY id ORDER BY n DESC, domain ASC) AS rn
+                FROM cnt
+              ) WHERE rn = 1
+            ),
+            lab AS (
+              SELECT a.doc_id, coalesce(p.domain, 'none') AS domain
+              FROM aug a LEFT JOIN prim p ON CAST(a.doc_id AS VARCHAR) = p.id
+            ),
+            w(domain, wt) AS (
+              VALUES ('s0.site.org', CAST(0.5 AS DOUBLE)),
+                     ('s1.site.org', CAST(0.25 AS DOUBLE)),
+                     ('s2.site.org', CAST(0.25 AS DOUBLE))
+            ),
+            dcnt AS (
+              SELECT domain, count(*) AS n FROM lab
+              WHERE domain IN (SELECT domain FROM w) GROUP BY domain
+            ),
+            fr AS (
+              SELECT domain,
+                     CAST(round(wt * (SELECT min(n / wt) FROM dcnt JOIN w USING (domain)) / n * 1000000) AS BIGINT) AS thr
+              FROM dcnt JOIN w USING (domain)
+            )
+            SELECT lab.doc_id, lab.domain
+            FROM lab JOIN fr USING (domain)
+            WHERE {_LANE.format(seed="'31'", x="CAST(lab.doc_id AS VARCHAR)")} % 1000000 < fr.thr
         """,
         "pack_sequences_split": f"""
             WITH s AS (

@@ -313,6 +313,7 @@ def stratified_sample(
     seed: int = 29,
     lane: str = "xxhash64",
     default_fraction: float = 0.0,
+    on_missing: str = "warn",
 ) -> DataFrame:
     """Deterministic stratified sampling: keep a key iff its hash bucket
     falls under the stratum's fraction — a pure function of (key, seed),
@@ -321,8 +322,41 @@ def stratified_sample(
     composable with :func:`hash_split` (different seeds -> independent).
 
     One projection + filter, no shuffle. Strata absent from
-    ``fractions`` fall back to ``default_fraction``.
+    ``fractions`` fall back to ``default_fraction`` — and when that
+    default is 0 the absent stratum is FULLY dropped, which is silent
+    data loss if unintended. ``on_missing`` governs it:
+
+    - ``"warn"`` (default): scan the distinct strata (one small agg —
+      O(#strata) rows back to the driver) and ``warnings.warn`` naming
+      any stratum present in the data but missing from ``fractions``
+      when ``default_fraction == 0``.
+    - ``"error"``: same check, raises ValueError instead.
+    - ``"ignore"``: skip the check (no extra scan — the choice for hot
+      paths that intentionally drop the long tail, e.g.
+      :func:`rebalance_domains`).
     """
+    if on_missing not in ("warn", "error", "ignore"):
+        raise ValueError(f"on_missing {on_missing!r}; 'warn'|'error'|'ignore'")
+    if on_missing != "ignore" and default_fraction == 0.0:
+        present = {
+            r[0]
+            for r in docs.select(
+                F.col(stratum_col).cast("string")
+            ).distinct().collect()
+        }
+        missing = sorted(s for s in present if s not in fractions and s is not None)
+        if missing:
+            msg = (
+                f"stratified_sample: strata {missing} are present in the "
+                f"data but absent from fractions with default_fraction=0 "
+                f"— they will be FULLY dropped. Pass an explicit fraction "
+                f"(0.0 to confirm the drop) or on_missing='ignore'."
+            )
+            if on_missing == "error":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     buckets = 1_000_000
     bucket = F.pmod(_key_lane(key_col, seed, lane), F.lit(buckets))
     expr = None
@@ -336,3 +370,94 @@ def stratified_sample(
         else F.lit(int(round(default_fraction * buckets)))
     )
     return docs.where(bucket < thr_col)
+
+
+def primary_domain(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    none_domain: str = "none",
+) -> DataFrame:
+    """-> docs + ``domain``: each doc labeled with its PRIMARY domain —
+    the most frequent host among its URLs (ties -> lexicographically
+    smallest, deterministic); docs with no URL get ``none_domain``.
+
+    Shape: :func:`extract_domains` explodes (id, domain) occurrence rows
+    (never full text), one count agg + one row_number window on those
+    small rows, then one join back keyed on id — text rides only the
+    final join, partitioned by id."""
+    dom = extract_domains(docs, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("domain"))
+    prim = (
+        dom.groupBy("id", "domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("id").alias("__pid"), "domain")
+    )
+    return (
+        docs.withColumn("__id", F.col(id_col).cast("string"))
+        .join(prim, F.col("__id") == F.col("__pid"), "left")
+        .drop("__pid", "__id")
+        .withColumn("domain", F.coalesce(F.col("domain"), F.lit(none_domain)))
+    )
+
+
+def rebalance_domains(
+    docs: DataFrame,
+    target_weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 31,
+    lane: str = "xxhash64",
+    none_domain: str = "none",
+) -> DataFrame:
+    """Reshape the corpus's domain mixture to ``target_weights`` by
+    deterministic downsampling — the standard LLM corpus-shaping move
+    (rebalance web sources before training). Composition of
+    :func:`primary_domain` + per-domain counts + :func:`stratified_sample`:
+
+    1. label each doc with its primary domain;
+    2. count docs per target domain (ONE small agg; O(#domains) scalars
+       to the driver — the only driver-side data);
+    3. the largest achievable output is ``T = min_d(count_d/weight_d)``
+       (the scarcest domain binds; sampling can only remove); each
+       domain keeps ``fraction_d = weight_d * T / count_d`` — so the
+       kept set realizes the target mixture in expectation at the
+       maximum feasible size;
+    4. hash-sample per domain (reproducible under repartitioning).
+
+    Domains outside ``target_weights`` (including ``none_domain``) are
+    DROPPED — that is the semantic of rebalancing to an explicit
+    mixture, so the stratified sampler runs with on_missing='ignore'.
+    A target domain with zero documents raises ValueError (an
+    unreachable mixture must refuse, not silently re-normalize).
+
+    -> the sampled docs + ``domain``.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    for d, p in target_weights.items():
+        if p <= 0:
+            raise ValueError(f"target weight for {d!r} must be > 0 (got {p})")
+    labeled = primary_domain(
+        docs, id_col=id_col, text_col=text_col, none_domain=none_domain
+    )
+    counts = {
+        r["domain"]: r["n"]
+        for r in labeled.where(
+            F.col("domain").isin(*target_weights)
+        ).groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    empty = sorted(d for d in target_weights if counts.get(d, 0) == 0)
+    if empty:
+        raise ValueError(
+            f"rebalance_domains: target domains {empty} have no documents "
+            f"— the requested mixture is unreachable"
+        )
+    t = min(counts[d] / p for d, p in target_weights.items())
+    fractions = {d: p * t / counts[d] for d, p in target_weights.items()}
+    return stratified_sample(
+        labeled, fractions, "domain", key_col=id_col, seed=seed, lane=lane,
+        on_missing="ignore",
+    )
