@@ -15,6 +15,7 @@ Portability notes baked into the queries:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -444,6 +445,35 @@ def q_extract_domains(spark, sf):
     return text.extract_domains(aug)
 
 
+def q_incremental_lsh_candidates(spark, sf):
+    """Incremental near-dedup against a persisted signature store (judge
+    r3 task 2): docs >=60 are the 'existing corpus' — their band buckets
+    are written to an append-only store (two batches, exercising the
+    multi-batch union); docs <60 are the delta. The delta run joins
+    delta buckets against the store WITHOUT recomputing corpus
+    signatures. Oracle: the FULL-run LSH candidates restricted to pairs
+    touching >=1 delta id — the incremental path must be lossless."""
+    import shutil
+    import tempfile
+
+    from tdr_draft_metadata_validator_spark.pipeline import incremental
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sigstore_oracle")
+    shutil.rmtree(root, ignore_errors=True)
+    incremental.append_signatures(
+        docs.where(F.col("doc_id") >= 130), root,
+        num_hashes=16, bands=4, n=1, lane="md5",
+    )
+    incremental.append_signatures(
+        docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 130)), root,
+        num_hashes=16, bands=4, n=1, lane="md5",
+    )
+    return incremental.incremental_lsh_candidates(
+        spark, docs.where(F.col("doc_id") < 60), root
+    )
+
+
 def q_rebalance_domains(spark, sf):
     """Domain-mixture reweighting (judge r3 task 8): primary-domain
     labeling (most-frequent host, ties -> lexicographic min, no-URL ->
@@ -764,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_lsh_near_dups": q_embedding_lsh_near_dups,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "incremental_lsh_candidates": q_incremental_lsh_candidates,
         "verified_near_dup_pairs": q_verified_near_dup_pairs,
         "near_dedup_keep_set": q_near_dedup_keep_set,
         "sessionize": q_sessionize,
@@ -923,10 +954,13 @@ def _minhash_sql(num_hashes: int = 4) -> str:
     """
 
 
-def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4,
+                     pair_filter: str | None = None) -> str:
     """DuckDB replica of dedup.minhash_lsh_candidates(num_hashes=16,
     bands=4, n=1) over doc_id<200: md5 lanes -> per-band md5 of the
-    comma-joined lane decimals -> band-bucket self-join."""
+    comma-joined lane decimals -> band-bucket self-join. ``pair_filter``
+    restricts the final pair set (incremental-run oracle: the delta run
+    must equal the full run restricted to pairs touching the delta)."""
     rows_per_band = num_hashes // bands
     mins = ",\n      ".join(
         "min({lane}) AS h{i}".format(lane=_LANE.format(seed=f"'{i}'", x="g"), i=i)
@@ -956,6 +990,7 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
     SELECT a.id AS id_a, c.id AS id_b, count(*) AS n_bands_matched
     FROM b a JOIN b c ON a.band = c.band AND a.bh = c.bh AND a.id < c.id
     GROUP BY a.id, c.id
+    {("HAVING " + pair_filter) if pair_filter else ""}
     """
 
 
@@ -1566,6 +1601,10 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_sql(4),
         "minhash_lsh_candidates": _minhash_lsh_sql(16, 4),
+        "incremental_lsh_candidates": _minhash_lsh_sql(
+            16, 4,
+            pair_filter="(CAST(a.id AS INT) < 60 OR CAST(c.id AS INT) < 60)",
+        ),
         "ivf_topk": _ivf_topk_sql(5, 16, 4, 7, 64),
         "embedding_lsh_near_dups": _embedding_lsh_sql(0.3, 9, 3, 64, 42),
         "simhash": _simhash_sql(32),

@@ -252,6 +252,37 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lane: str = "xxhash64",
+) -> DataFrame:
+    """-> (id, band, bh): each doc's LSH band buckets — the persistable
+    HALF of MinHash LSH (what a signature STORE holds: ~bands rows of
+    ~50 B per doc, independent of document size). Two docs agreeing on
+    ANY (band, bh) are candidates; :func:`minhash_lsh_candidates` is
+    the self-join of this frame, and the incremental path
+    (``pipeline.incremental``) joins a delta's buckets against a
+    persisted store of them instead of recomputing the corpus."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, lane=lane)
+    band_cols = []
+    for bidx in range(bands):
+        piece = F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band)
+        if lane == "md5":
+            bh = F.md5(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string"))))
+        else:
+            bh = F.xxhash64(piece).cast("string")
+        band_cols.append(F.struct(F.lit(bidx).alias("band"), bh.alias("bh")))
+    return sigs.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -272,18 +303,8 @@ def minhash_lsh_candidates(
     xxhash64 hashes the band slice NATIVELY (one integer hash over the
     array) where md5 mode string-joins it — the production/oracle split.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, lane=lane)
-    band_cols = []
-    for bidx in range(bands):
-        piece = F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band)
-        if lane == "md5":
-            bh = F.md5(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string"))))
-        else:
-            bh = F.xxhash64(piece).cast("string")
-        band_cols.append(F.struct(F.lit(bidx).alias("band"), bh.alias("bh")))
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    buckets = minhash_band_buckets(
+        docs, num_hashes, bands, n, id_col, text_col, lane=lane
     )
     a = buckets.select(F.col("id").alias("id_a"), "band", "bh")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bh")

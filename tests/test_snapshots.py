@@ -130,6 +130,55 @@ def test_cli_incremental_since_snapshot(spark, tmp_path, capsys):
     assert assets == {datagen.clip_id_of(35)}
 
 
+def test_cli_incremental_near_dedup_store(spark, tmp_path, capsys):
+    """--near-dedup-store wiring: run 1 bootstraps the signature store
+    from the full table; run 2 (--since-snapshot) writes near_dup_pairs
+    for the delta — catching a new transcript that duplicates an OLD
+    clip's without recomputing corpus signatures — then appends the
+    delta's signatures as a new batch."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    store = str(tmp_path
+                / "sigstore")
+    v1 = datagen.clips_batch(np.arange(30))
+    commit_snapshot(datagen.clips_df(spark, v1), root)               # snap 1
+    v2 = datagen.clips_batch(np.arange(40))
+    v2.loc[35, "transcript"] = v1.loc[5, "transcript"]  # new dup of old clip 5
+    commit_snapshot(datagen.clips_df(spark, v2), root)               # snap 2
+    ref1 = str(tmp_path / "ref1.parquet")
+    datagen.ref_df(spark, datagen.ref_batch(np.arange(30))).write.parquet(ref1)
+    ref = str(tmp_path / "ref.parquet")
+    datagen.ref_df(spark, datagen.ref_batch(np.arange(40))).write.parquet(ref)
+
+    rc = cli.main([
+        "--table", f"snap:{root}", "--snapshot-id", "1", "--ref", ref1,
+        "--near-dedup-store", store,
+        "--output", str(tmp_path / "out1"), "--run-id", "nd1",
+        "--no-audio", "--partitions", "8",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    assert os.path.isdir(os.path.join(store, "batch-1"))
+
+    rc2 = cli.main([
+        "--table", f"snap:{root}", "--ref", ref,
+        "--since-snapshot", "1", "--near-dedup-store", store,
+        "--output", str(tmp_path / "out2"), "--run-id", "nd2",
+        "--no-audio", "--partitions", "8",
+    ])
+    capsys.readouterr()
+    assert rc2 == 0
+    pairs = spark.read.parquet(str(tmp_path / "out2" / "near_dup_pairs"))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    dup_pair = tuple(sorted([datagen.clip_id_of(5), datagen.clip_id_of(35)]))
+    assert dup_pair in got
+    # delta-only ids on the left join side: every pair touches the delta
+    delta_ids = {datagen.clip_id_of(i) for i in range(30, 40)}
+    assert all(a in delta_ids or b in delta_ids for a, b in got)
+    assert os.path.isdir(os.path.join(store, "batch-2"))
+
+
 def test_merge_snapshot_upsert_delete_and_pinning(spark, tmp_path):
     """MERGE-INTO analog: updates replace rows by key, deletes remove,
     untouched rows survive; pinned readers of the pre-merge snapshot see

@@ -55,6 +55,13 @@ def main(argv=None):
                    help="incremental delta detection: 'appended' = new keys "
                         "only (key anti-join, ~20 B/row shuffle); 'changed' "
                         "= also re-validate rows whose content hash changed")
+    p.add_argument("--near-dedup-store",
+                   help="persisted MinHash band-bucket store root. With "
+                        "--since-snapshot: writes near_dup_pairs for the "
+                        "delta (delta signatures joined against the store — "
+                        "corpus signatures never recomputed) then appends "
+                        "the delta's signatures. Otherwise: bootstraps the "
+                        "store from this run's table (transcript column).")
     p.add_argument("--ref-fingerprints",
                    help="precomputed reference fingerprint manifest "
                         "(operators.audio.ref_fingerprints output); rebuilt "
@@ -356,6 +363,41 @@ def main(argv=None):
             json.dump({"fileError": overall_error.value,
                        "violationAssets": n_assets,
                        "detail": "see violations/ JSON-lines dataset"}, fh)
+
+    if args.near_dedup_store:
+        from tdr_draft_metadata_validator_spark.pipeline.incremental import (
+            append_signatures,
+            incremental_lsh_candidates,
+            store_params,
+        )
+
+        params = store_params(args.near_dedup_store)
+        if args.since_snapshot is not None and params is not None:
+            # steady-state: candidates for the DELTA only, joined against
+            # the persisted store — corpus signatures never recomputed
+            pairs = incremental_lsh_candidates(
+                spark, clips, args.near_dedup_store,
+                id_col="clip_id", text_col="transcript",
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(args.output, "near_dup_pairs")
+            )
+            append_signatures(
+                clips, args.near_dedup_store, id_col="clip_id",
+                text_col="transcript", **params,
+            )
+            print(f"near-dedup: delta candidates written; delta signatures "
+                  f"appended to {args.near_dedup_store}", file=sys.stderr)
+        else:
+            # bootstrap (or full re-run): seed the store from this run's
+            # table so the NEXT incremental run has a corpus to join
+            append_signatures(
+                clips, args.near_dedup_store,
+                id_col="clip_id", text_col="transcript",
+                **(params or {}),
+            )
+            print(f"near-dedup: signatures appended to "
+                  f"{args.near_dedup_store}", file=sys.stderr)
 
     passed = overall_error == FileError.NONE
     print(json.dumps({
