@@ -42,6 +42,13 @@ BENCH_QUERIES = [
     # round-3 additions
     "near_dup_components_star", "cube", "redact_pii", "extract_domains",
     "pack_sequences", "stratified_sample",
+    # round-4 additions: deep-graph CC crossover (judge r3 task 5 — star
+    # must beat min-label wall-clock on diameter >= 64; auto ~ star),
+    # incremental signature-store dedup, domain rebalancing, split-pure
+    # packing
+    "cc_deep_minlabel", "cc_deep_star", "cc_deep_auto",
+    "incremental_lsh_candidates", "rebalance_domains",
+    "pack_sequences_split",
 ]
 
 

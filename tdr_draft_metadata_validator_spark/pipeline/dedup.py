@@ -453,34 +453,55 @@ def near_dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    method: str = "minlabel",
+    method: str = "auto",
     rounds_out: list | None = None,
+    auto_probe_rounds: int = 6,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: -> (id, component) where
     component = MIN id reachable from the node (canonical representative).
 
-    Two methods, identical output:
+    Three methods, identical output:
 
-    - ``"minlabel"`` (default; the simple path): each round every node
-      takes the min of its own label and its neighbors' labels (one
-      equi-join + one groupBy per round); converges in <= graph-DIAMETER
-      rounds — fine for the short chains near-dup graphs usually form.
-    - ``"star"`` (the scale path): large-star/small-star alternation
-      (Kiveris et al. 2014, "Connected Components in MapReduce and
-      Beyond"), which bounds rounds at O(log^2 n) regardless of
-      diameter — the right choice at 10^12 rows where one pathological
-      long chain would stall min-label. See
-      :func:`near_dup_components_star`.
+    - ``"minlabel"``: each round every node takes the min of its own
+      label and its neighbors' labels (one equi-join + one groupBy per
+      round); converges in <= graph-DIAMETER rounds — the cheapest per
+      round, fine for the short chains near-dup graphs usually form.
+    - ``"star"``: large-star/small-star alternation (Kiveris et al.
+      2014, "Connected Components in MapReduce and Beyond"), which
+      bounds rounds at O(log^2 n) regardless of diameter — the right
+      choice at 10^12 rows where one pathological long chain would
+      stall min-label. See :func:`near_dup_components_star`.
+    - ``"auto"`` (default): probe with min-label for
+      ``auto_probe_rounds`` rounds; if the graph hasn't converged by
+      then its diameter is deep, so switch to star for the full budget.
+      Shallow graphs (the common near-dup shape) pay only min-label's
+      cheaper rounds; deep graphs pay a bounded probe (a handful of
+      joins) then the O(log^2 n) path — never an O(diameter) stall.
+      The dispatch is a CONVERGENCE probe, not a heuristic guess: it
+      cannot mis-classify, only spend ``auto_probe_rounds`` extra joins
+      on deep graphs.
 
     Labels are localCheckpoint'ed per round — the standard
     iterative-Spark guard against exponential plan growth.
     ``rounds_out``: optional list the round count is appended to.
     """
+    if method == "auto":
+        try:
+            return near_dup_components(
+                pairs, id_a, id_b,
+                max_iter=min(auto_probe_rounds, max_iter),
+                method="minlabel", rounds_out=rounds_out,
+            )
+        except RuntimeError:
+            return near_dup_components_star(pairs, id_a, id_b, max_iter,
+                                            rounds_out=rounds_out)
     if method == "star":
         return near_dup_components_star(pairs, id_a, id_b, max_iter,
                                         rounds_out=rounds_out)
     if method != "minlabel":
-        raise ValueError(f"unknown method {method!r}; 'minlabel' or 'star'")
+        raise ValueError(
+            f"unknown method {method!r}; 'minlabel', 'star', or 'auto'"
+        )
     edges = (
         pairs.select(F.col(id_a).cast("string").alias("a"),
                      F.col(id_b).cast("string").alias("b"))
