@@ -474,6 +474,29 @@ def q_incremental_lsh_candidates(spark, sf):
     )
 
 
+def q_repetition_features(spark, sf):
+    """Gopher-style repetition signals: duplicate-line fraction (lines
+    injected by newline-splitting on ' the ') and duplicate-3-gram
+    fraction (a spam tail appended to every 3rd doc)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    lined = F.regexp_replace(F.col("text"), " the ", "\n")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(lined, F.lit(" spam spam spam spam spam spam")),
+        ).otherwise(lined).alias("text"),
+    )
+    out = text.repetition_features(aug)
+    return out.select(
+        "id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "dup_3gram_frac",
+    )
+
+
 def q_rebalance_domains(spark, sf):
     """Domain-mixture reweighting (judge r3 task 8): primary-domain
     labeling (most-frequent host, ties -> lexicographic min, no-URL ->
@@ -781,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "redact_pii": q_redact_pii,
         "extract_domains": q_extract_domains,
+        "repetition_features": q_repetition_features,
         "rebalance_domains": q_rebalance_domains,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_split": q_pack_sequences_split,
@@ -1527,6 +1551,38 @@ def _oracle_sqls() -> dict[str, str]:
                    CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY grp ORDER BY id)
                                - least(n_tokens, 200)) / 200.0) AS BIGINT) AS bin
             FROM d
+        """,
+        "repetition_features": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN replace(text, ' the ', chr(10)) || ' spam spam spam spam spam spam'
+                          ELSE replace(text, ' the ', chr(10)) END AS text
+              FROM documents WHERE doc_id < 300
+            ),
+            f AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     string_split(text, chr(10)) AS lines,
+                     string_split({_NORM}, ' ') AS toks
+              FROM aug
+            ),
+            g AS (
+              SELECT id, lines, toks,
+                     CASE WHEN len(toks) - 2 >= 1
+                          THEN list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                          ELSE [] END AS grams
+              FROM f
+            )
+            SELECT id,
+                   len(lines) AS n_lines,
+                   round((len(lines) - len(list_distinct(lines)))
+                         / greatest(len(lines), 1)::DOUBLE, 6) AS dup_line_frac,
+                   len(grams) AS n_grams,
+                   round((len(grams) - len(list_distinct(grams)))
+                         / greatest(len(grams), 1)::DOUBLE, 6) AS dup_3gram_frac
+            FROM g
         """,
         "rebalance_domains": f"""
             WITH aug AS (

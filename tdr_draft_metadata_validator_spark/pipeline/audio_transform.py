@@ -242,6 +242,39 @@ def segment_clips(
 # training augmentation: speed perturbation + deterministic noise injection
 # ---------------------------------------------------------------------------
 
+def trim_silence(
+    clips: DataFrame,
+    threshold_db: float = -40.0,
+    pad_ms: int = 100,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Strip leading/trailing silence (standard speech-corpus prep —
+    recordings carry dead air that wastes tokens and skews duration
+    stats): keep [first, last] samples whose |amplitude| exceeds the
+    dBFS threshold, padded by ``pad_ms`` on each side so onsets aren't
+    clipped. Deterministic (pure threshold scan, no model). An
+    ALL-silent clip trims to zero samples — still decode_ok=True; the
+    quality gate (silence_ratio / dur_s) owns dropping it, same
+    separation of concerns as normalize_loudness. Same fused
+    decode->encode Arrow pass as every 1:1 transform."""
+    if pad_ms < 0:
+        raise ValueError("pad_ms must be >= 0")
+    thr = 32768.0 * (10.0 ** (threshold_db / 20.0))
+
+    def fn(_cid, sr, samples):
+        idx = np.flatnonzero(np.abs(samples.astype(np.float64)) > thr)
+        if len(idx) == 0:
+            return sr, samples[:0]
+        pad = int(sr * pad_ms / 1000)
+        lo = max(0, int(idx[0]) - pad)
+        hi = min(len(samples), int(idx[-1]) + 1 + pad)
+        return sr, samples[lo:hi]
+
+    return _transform_pass(clips, fn, id_col, bytes_col, codec_col)
+
+
 def speed_perturb(
     clips: DataFrame,
     factor: float = 1.1,

@@ -107,6 +107,51 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     return feats.withColumn("quality_score", F.round(score, 6))
 
 
+def repetition_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of DUPLICATE lines and of duplicate word 3-grams in each
+    document — high values mark boilerplate/spam (nav menus, scraped
+    templates, keyword stuffing) that length/punctuation quality
+    features miss. One projection, no UDF, no shuffle:
+
+    -> (id, n_lines, dup_line_frac, n_grams, dup_3gram_frac), fractions
+    rounded to 6; documents too short for a 3-gram get dup_3gram_frac=0
+    (nothing repeats), not null.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    dup_line = F.round(
+        (n_lines - F.size(F.array_distinct(lines))) /
+        F.greatest(n_lines, F.lit(1)), 6,
+    )
+    toks = F.split(normalize_text(c), " ")
+    k = F.size(toks) - 2
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )).otherwise(F.array())
+    n_grams = F.size(grams)
+    dup_gram = F.round(
+        (n_grams - F.size(F.array_distinct(grams))) /
+        F.greatest(n_grams, F.lit(1)), 6,
+    )
+    return docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        n_lines.alias("n_lines"),
+        dup_line.alias("dup_line_frac"),
+        n_grams.alias("n_grams"),
+        dup_gram.alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Stable document fingerprint: md5 of the normalized text (the
     rolling-hash analog with a portable primitive — reproducible in any

@@ -1210,6 +1210,27 @@ def test_rebalance_domains_hits_target_mixture(spark):
         text.rebalance_domains(docs, {"rare.org": 0.0})
 
 
+def test_repetition_features_values(spark):
+    """Gopher repetition signals, value-exact: duplicate lines and
+    duplicate 3-grams counted against their totals; short docs get 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),             # 3 lines, 1 dup
+            (2, "x y z x y z x y z"),          # 9 toks -> 7 grams, 5 dup
+            (3, "one two"),                     # too short for a 3-gram
+            (4, "unique words only here now"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["id"]: r for r in text.repetition_features(docs).collect()}
+    assert got["1"]["n_lines"] == 3 and got["1"]["dup_line_frac"] == round(1 / 3, 6)
+    assert got["2"]["n_grams"] == 7
+    # grams: xyz yzx zxy xyz yzx zxy xyz -> 3 distinct, 4 dup
+    assert got["2"]["dup_3gram_frac"] == round(4 / 7, 6)
+    assert got["3"]["n_grams"] == 0 and got["3"]["dup_3gram_frac"] == 0.0
+    assert got["4"]["dup_line_frac"] == 0.0 and got["4"]["dup_3gram_frac"] == 0.0
+
+
 def test_prepare_audio_corpus_end_to_end(spark):
     """Judge r3 task 3: the audio corpus-prep recipe drops junk, short,
     and silent clips at the quality gate; a GAIN-ADJUSTED MU-LAW
@@ -1328,6 +1349,44 @@ def test_incremental_lsh_store_lossless_and_guarded(spark, tmp_path):
         incremental.incremental_lsh_candidates(
             spark, delta, str(tmp_path / "nope")
         )
+
+
+def test_trim_silence_margins_pad_and_all_silent(spark):
+    """trim_silence: dead air beyond the pad is stripped, the padded
+    onset survives, all-silent clips trim to zero samples but stay
+    decode_ok (the quality gate owns dropping them), bad pad refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.functions.audio_codec import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    from tdr_draft_metadata_validator_spark.pipeline.audio_transform import (
+        trim_silence,
+    )
+
+    sr = 16000
+    tone = (np.sin(np.arange(sr) * 0.1) * 8000).astype(np.int16)  # 1 s
+    sil = np.zeros(sr, dtype=np.int16)                             # 1 s
+    clip = np.concatenate([sil, tone, sil])                        # 3 s
+    rows = [
+        ("pad", encode_wav_pcm16(clip, sr), "pcm_s16le"),
+        ("allsil", encode_wav_pcm16(np.zeros(sr * 2, dtype=np.int16), sr),
+         "pcm_s16le"),
+    ]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r["clip_id"]: r for r in trim_silence(clips, pad_ms=100).collect()}
+    # 1 s tone + 100 ms pad each side = 1.2 s
+    assert got["pad"]["decode_ok"] is True
+    assert abs(got["pad"]["dur_ms"] - 1200) <= 2
+    _sr, trimmed = decode_wav_pcm16(bytes(got["pad"]["bytes"]))
+    # tone[0] is sin(0)=0 (below threshold), so the first voiced sample
+    # is tone[1] and the padded window starts one sample later
+    assert np.array_equal(trimmed[1599:1599 + sr], tone)  # onset intact
+    assert got["allsil"]["decode_ok"] is True and got["allsil"]["dur_ms"] == 0
+    with _pytest.raises(ValueError):
+        trim_silence(clips, pad_ms=-1)
 
 
 def test_resample_method_is_explicit_never_import_dependent():
