@@ -474,6 +474,39 @@ def q_incremental_lsh_candidates(spark, sf):
     )
 
 
+def _deep_chain_pairs(spark, sf):
+    """Diameter-65 path graph over doc_id 0..64 -> 65 edges, one
+    component whose min id is '000' (the CC crossover fixture)."""
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") <= 64)
+    return docs.select(
+        F.format_string("%03d", F.col("doc_id")).alias("id_a"),
+        F.format_string("%03d", F.col("doc_id") + 1).alias("id_b"),
+    )
+
+
+def q_cc_deep_minlabel(spark, sf):
+    """Min-label CC on the deep chain: needs ~diameter rounds — the
+    regime the star/auto variants exist to escape (bench crossover)."""
+    return dedup.near_dup_components(
+        _deep_chain_pairs(spark, sf), max_iter=70, method="minlabel"
+    )
+
+
+def q_cc_deep_star(spark, sf):
+    """Large-star/small-star CC on the deep chain: O(log^2 n) rounds."""
+    return dedup.near_dup_components(
+        _deep_chain_pairs(spark, sf), max_iter=40, method="star"
+    )
+
+
+def q_cc_deep_auto(spark, sf):
+    """Auto dispatch on the deep chain: the min-label probe hits its
+    budget, so the dispatcher switches to star — same components."""
+    return dedup.near_dup_components(
+        _deep_chain_pairs(spark, sf), max_iter=40, method="auto"
+    )
+
+
 def q_repetition_features(spark, sf):
     """Gopher-style repetition signals: duplicate-line fraction (lines
     injected by newline-splitting on ' the ') and duplicate-3-gram
@@ -804,6 +837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "redact_pii": q_redact_pii,
         "extract_domains": q_extract_domains,
+        "cc_deep_minlabel": q_cc_deep_minlabel,
+        "cc_deep_star": q_cc_deep_star,
+        "cc_deep_auto": q_cc_deep_auto,
         "repetition_features": q_repetition_features,
         "rebalance_domains": q_rebalance_domains,
         "pack_sequences": q_pack_sequences,
@@ -877,35 +913,7 @@ def production_overrides() -> dict[str, Callable[[SparkSession, str], DataFrame]
             labeled, {"en": 0.5, "de": 0.1}, "lang"
         ).select("doc_id", "lang")
 
-    def _deep_chain(spark, sf):
-        # diameter-65 path graph (judge r3 task 5's crossover bench):
-        # min-label needs ~diameter rounds; star O(log^2 n); auto probes
-        # then switches
-        docs = _t(spark, sf, "documents").where(F.col("doc_id") <= 64)
-        return docs.select(
-            F.format_string("%03d", F.col("doc_id")).alias("id_a"),
-            F.format_string("%03d", F.col("doc_id") + 1).alias("id_b"),
-        )
-
-    def p_cc_deep_minlabel(spark, sf):
-        return dedup.near_dup_components(
-            _deep_chain(spark, sf), max_iter=70, method="minlabel"
-        )
-
-    def p_cc_deep_star(spark, sf):
-        return dedup.near_dup_components(
-            _deep_chain(spark, sf), max_iter=40, method="star"
-        )
-
-    def p_cc_deep_auto(spark, sf):
-        return dedup.near_dup_components(
-            _deep_chain(spark, sf), max_iter=40, method="auto"
-        )
-
     return {
-        "cc_deep_minlabel": p_cc_deep_minlabel,
-        "cc_deep_star": p_cc_deep_star,
-        "cc_deep_auto": p_cc_deep_auto,
         "minhash_lsh_candidates": p_minhash_lsh,
         "minhash_signatures": p_minhash_sigs,
         "simhash": p_simhash,
@@ -1551,6 +1559,25 @@ def _oracle_sqls() -> dict[str, str]:
                    CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY grp ORDER BY id)
                                - least(n_tokens, 200)) / 200.0) AS BIGINT) AS bin
             FROM d
+        """,
+        # known-graph fixture: the diameter-65 path over doc_id 0..64 has
+        # exactly one component whose min id is '000' — the oracle states
+        # the closed form (the generic recursive-CTE closure oracle backs
+        # near_dup_components on a non-trivial graph already)
+        "cc_deep_minlabel": """
+            SELECT lpad(CAST(doc_id AS VARCHAR), 3, '0') AS id,
+                   '000' AS component
+            FROM documents WHERE doc_id <= 65
+        """,
+        "cc_deep_star": """
+            SELECT lpad(CAST(doc_id AS VARCHAR), 3, '0') AS id,
+                   '000' AS component
+            FROM documents WHERE doc_id <= 65
+        """,
+        "cc_deep_auto": """
+            SELECT lpad(CAST(doc_id AS VARCHAR), 3, '0') AS id,
+                   '000' AS component
+            FROM documents WHERE doc_id <= 65
         """,
         "repetition_features": f"""
             WITH aug AS (

@@ -117,6 +117,52 @@ def read_signatures(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(*paths).select(*_BUCKET_COLS)
 
 
+def compact_signature_store(
+    spark: SparkSession,
+    root: str,
+    remove_ids: DataFrame | None = None,
+) -> int:
+    """Maintenance (the expire_snapshots analog for the signature
+    store): rewrite the batch log as ONE batch, optionally retiring the
+    buckets of deleted documents (``remove_ids``: a one-column frame of
+    ids — pair it with ``snapshot_delta``'s removed_keys so the store
+    tracks the corpus). Without periodic compaction an append-every-day
+    store accumulates batches (read-side union width grows) and keeps
+    signatures for documents that no longer exist (phantom candidate
+    pairs). Returns the new batch id.
+
+    Crash-safe in the same order as every manifest here: the compacted
+    batch is WRITTEN first, then the trimmed manifest publishes via
+    atomic rename, then the old batch directories are deleted — a crash
+    leaves orphan directories, never a manifest pointing at missing
+    data. Readers pinned to the old manifest in-flight keep their
+    batches until the final delete, mirroring expire_snapshots'
+    contract.
+    """
+    import shutil
+
+    if store_params(root) is None:
+        raise FileNotFoundError(f"signature store {root!r} has no parameters")
+    old_batches = _read_json(os.path.join(root, BATCHES), [])
+    if not old_batches:
+        raise FileNotFoundError(f"no signature batches committed under {root!r}")
+    buckets = read_signatures(spark, root)
+    if remove_ids is not None:
+        gone = remove_ids.select(
+            F.col(remove_ids.columns[0]).cast("string").alias("id")
+        )
+        buckets = buckets.join(gone, on="id", how="left_anti")
+    bid = old_batches[-1]["batch_id"] + 1
+    buckets.write.mode("errorifexists").parquet(os.path.join(root, f"batch-{bid}"))
+    _write_json_atomic(
+        os.path.join(root, BATCHES),
+        [{"batch_id": bid, "path": f"batch-{bid}"}],
+    )
+    for b in old_batches:
+        shutil.rmtree(os.path.join(root, b["path"]), ignore_errors=True)
+    return bid
+
+
 def incremental_lsh_candidates(
     spark: SparkSession,
     delta_docs: DataFrame,

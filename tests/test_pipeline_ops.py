@@ -1389,6 +1389,43 @@ def test_trim_silence_margins_pad_and_all_silent(spark):
         trim_silence(clips, pad_ms=-1)
 
 
+def test_compact_signature_store_retires_removed_ids(spark, tmp_path):
+    """Store maintenance: compaction folds the batch log into one batch
+    (old directories deleted, manifest rewritten) and retires removed
+    documents' buckets, so deleted corpus rows stop producing phantom
+    candidate pairs; surviving pairs are unchanged."""
+    import os
+
+    from tdr_draft_metadata_validator_spark.pipeline import incremental
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "oak tree by the river bank every single morning")
+    rows = [(i, base if i % 5 == 0 else f"unique doc {i} topic {i * 13 % 7} "
+             f"filler {i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    old = docs.where(F.col("doc_id") >= 10)
+    delta = docs.where(F.col("doc_id") < 10)
+    root = str(tmp_path / "store")
+    incremental.append_signatures(old.where(F.col("doc_id") >= 25), root,
+                                  num_hashes=16, bands=4)
+    incremental.append_signatures(old.where(F.col("doc_id") < 25), root,
+                                  num_hashes=16, bands=4)
+    before = incremental.incremental_lsh_candidates(spark, delta, root)
+    before_set = {(r["id_a"], r["id_b"]) for r in before.collect()}
+    assert ("0", "10") in before_set and ("0", "20") in before_set
+
+    removed = spark.createDataFrame([("10",)], "doc_id string")
+    bid = incremental.compact_signature_store(spark, root, remove_ids=removed)
+    assert sorted(p for p in os.listdir(root) if p.startswith("batch-")) == \
+        [f"batch-{bid}"]
+    after = incremental.incremental_lsh_candidates(spark, delta, root)
+    after_set = {(r["id_a"], r["id_b"]) for r in after.collect()}
+    assert ("0", "10") not in after_set           # retired id gone
+    assert after_set == {p for p in before_set if "10" not in p}
+    # params survive compaction; further appends still work
+    incremental.append_signatures(delta, root, num_hashes=16, bands=4)
+
+
 def test_resample_method_is_explicit_never_import_dependent():
     """ADVICE r3: the resampler must not silently switch on scipy
     availability — method='linear' is pure numpy (same bytes in every
