@@ -267,3 +267,68 @@ def drift_monitor_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start(), violations_log
+
+
+def near_dedup_stream(
+    clips_stream: DataFrame,
+    store_root: str,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+    checkpoint_dir: str | None = None,
+    append_to_store: bool = True,
+):
+    """The incremental near-dedup workflow (pipeline.incremental) as a
+    continuous pipeline: each arriving micro-batch's MinHash band
+    buckets join against the persisted signature store — candidates for
+    the new clips only, corpus signatures never recomputed — then (by
+    default) the batch's buckets append to the store so later batches
+    dedup against it too.
+
+    Pattern: ``foreachBatch``, for two reasons the pure streaming
+    surface can't express — the store join needs the batch as a plain
+    DataFrame (stream-static joins can't re-read a store that GROWS
+    with every batch), and the append must happen exactly after the
+    candidate join, in-batch, so ordering is the micro-batch order.
+    Store appends inherit the batch-log crash contract
+    (write-then-publish; a replayed batch after a crash re-appends —
+    duplicate buckets only widen candidate n_bands counts, never drop
+    pairs, and compact_signature_store reconciles).
+
+    Returns (query, pairs_log) — pairs_log collects
+    (batch_id, id_a, id_b, n_bands_matched) tuples; production swaps
+    the driver-side log for a partitioned sink write in the same
+    callback (the candidate set per batch is O(delta), small by
+    construction).
+    """
+    from ..pipeline import incremental
+
+    pairs_log: list[tuple[int, str, str, int]] = []
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        params = incremental.store_params(store_root)
+        if params is None:
+            # first batch bootstraps the store; nothing to dedup against
+            incremental.append_signatures(
+                batch_df, store_root, id_col=id_col, text_col=text_col,
+            )
+            return
+        pairs = incremental.incremental_lsh_candidates(
+            spark, batch_df, store_root, id_col=id_col, text_col=text_col,
+        )
+        for r in pairs.collect():
+            pairs_log.append(
+                (batch_id, r["id_a"], r["id_b"], r["n_bands_matched"])
+            )
+        if append_to_store:
+            incremental.append_signatures(
+                batch_df, store_root, id_col=id_col, text_col=text_col,
+                **params,
+            )
+
+    writer = clips_stream.writeStream.foreachBatch(on_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start(), pairs_log

@@ -240,3 +240,44 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
         q.stop()
     assert closed_stream == closed_batch
     assert len(closed_batch) > 10  # non-trivial corpus
+
+
+def test_streaming_near_dedup_against_store(spark, tmp_path):
+    """near_dedup_stream: batch 1 bootstraps the signature store; batch 2
+    dedups against it — a new clip whose transcript duplicates an OLD
+    clip is caught with all bands matched, and the batch's signatures
+    append so batch 3 would dedup against both."""
+    import os
+
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        near_dedup_stream,
+    )
+
+    src = str(tmp_path / "in_nd")
+    store = str(tmp_path / "ndstore")
+    v1 = datagen.clips_batch(np.arange(30))
+    datagen.clips_df(spark, v1).write.parquet(src)
+
+    stream = read_clips_stream(spark, src)
+    q, pairs_log = near_dedup_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "ckpt_nd")
+    )
+    try:
+        q.processAllAvailable()
+        assert os.path.isdir(os.path.join(store, "batch-1"))  # bootstrap
+        assert pairs_log == []
+
+        v2 = datagen.clips_batch(np.arange(30, 40))
+        v2.loc[v2.index[5], "transcript"] = v1.loc[5, "transcript"]  # clip 35
+        datagen.clips_df(spark, v2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dup_pair = tuple(sorted([datagen.clip_id_of(5), datagen.clip_id_of(35)]))
+    got = {(a, b): n for (_bid, a, b, n) in pairs_log}
+    assert dup_pair in got and got[dup_pair] == 8  # identical text: all bands
+    # every candidate touches the new batch (old clips never re-signed)
+    new_ids = {datagen.clip_id_of(i) for i in range(30, 40)}
+    assert all(a in new_ids or b in new_ids for (a, b) in got)
+    assert os.path.isdir(os.path.join(store, "batch-2"))  # appended
