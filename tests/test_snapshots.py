@@ -164,6 +164,7 @@ def test_cli_incremental_near_dedup_store(spark, tmp_path, capsys):
     rc2 = cli.main([
         "--table", f"snap:{root}", "--ref", ref,
         "--since-snapshot", "1", "--near-dedup-store", store,
+        "--compact-dedup-store",
         "--output", str(tmp_path / "out2"), "--run-id", "nd2",
         "--no-audio", "--partitions", "8",
     ])
@@ -176,7 +177,10 @@ def test_cli_incremental_near_dedup_store(spark, tmp_path, capsys):
     # delta-only ids on the left join side: every pair touches the delta
     delta_ids = {datagen.clip_id_of(i) for i in range(30, 40)}
     assert all(a in delta_ids or b in delta_ids for a, b in got)
-    assert os.path.isdir(os.path.join(store, "batch-2"))
+    # --compact-dedup-store folded the batch log into ONE batch (id 3:
+    # bootstrap=1, delta append=2, compaction=3)
+    batches = sorted(p for p in os.listdir(store) if p.startswith("batch-"))
+    assert batches == ["batch-3"]
 
 
 def test_merge_snapshot_upsert_delete_and_pinning(spark, tmp_path):

@@ -62,6 +62,12 @@ def main(argv=None):
                         "corpus signatures never recomputed) then appends "
                         "the delta's signatures. Otherwise: bootstraps the "
                         "store from this run's table (transcript column).")
+    p.add_argument("--compact-dedup-store", action="store_true",
+                   help="after an incremental run, compact the "
+                        "--near-dedup-store batch log into one batch and "
+                        "retire the signatures of keys removed between the "
+                        "snapshots (phantom-pair prevention; run "
+                        "periodically, not per-sliver)")
     p.add_argument("--ref-fingerprints",
                    help="precomputed reference fingerprint manifest "
                         "(operators.audio.ref_fingerprints output); rebuilt "
@@ -136,7 +142,7 @@ def main(argv=None):
             snapshot_delta,
         )
 
-        clips, _removed, snapshot_id = snapshot_delta(
+        clips, removed_keys, snapshot_id = snapshot_delta(
             spark, args.table[len("snap:"):], args.since_snapshot,
             to=args.snapshot_id, mode=args.delta_mode,
         )
@@ -153,6 +159,7 @@ def main(argv=None):
         )
     else:
         incremental_drift_frame = None
+        removed_keys = None
 
     ref_format = args.ref_format or args.table_format
     ref = (
@@ -388,6 +395,16 @@ def main(argv=None):
             )
             print(f"near-dedup: delta candidates written; delta signatures "
                   f"appended to {args.near_dedup_store}", file=sys.stderr)
+            if args.compact_dedup_store:
+                from tdr_draft_metadata_validator_spark.pipeline.incremental import (
+                    compact_signature_store,
+                )
+
+                bid = compact_signature_store(
+                    spark, args.near_dedup_store, remove_ids=removed_keys,
+                )
+                print(f"near-dedup: store compacted to batch-{bid} "
+                      f"(removed keys retired)", file=sys.stderr)
         else:
             # bootstrap (or full re-run): seed the store from this run's
             # table so the NEXT incremental run has a corpus to join
