@@ -118,8 +118,9 @@ def measure(label, n_rows, clips_path, ref_path, fp_path, with_audio,
 
 def main():
     from tdr_draft_metadata_validator_spark.session import get_spark
-    from bench import ensure_bench_tables
+    from bench import ensure_bench_tables, machine_calibration
 
+    calib_before = machine_calibration()
     gen = get_spark(app_name="scaling-gen", master="local[32]")
     clips_path, ref_path, fp_path = ensure_bench_tables(gen, N_CLIPS)
     meta_clips, meta_ref = ensure_meta_tables(gen, N_META)
@@ -133,6 +134,7 @@ def main():
     decode = measure("decode-gate", N_CLIPS, clips_path, None, None, True, n_small=2)
     audio = measure("full-audio", N_CLIPS, clips_path, ref_path, fp_path, True)
     relational = measure("relational", N_META, meta_clips, meta_ref, None, False)
+    calib_after = machine_calibration()
 
     OUT_MD.parent.mkdir(exist_ok=True)
     OUT_MD.write_text(f"""# BENCH/BASELINE — scaling evidence (sandbox stand-in)
@@ -141,6 +143,9 @@ North rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. No real cluster in this sandbox; the same job runs on the
 same input at two parallelism levels (N and 4N local cores), best-of-3
 each, machine otherwise idle. Measured {datetime.date.today().isoformat()}.
+Shared-host calibration (see bench.machine_calibration; APPENDIX.md
+documents why this rides every measurement):
+before `{json.dumps(calib_before)}`, after `{json.dumps(calib_after)}`.
 
 **Sandbox context that frames all three tables:** this is a single VM
 with one virtio disk (~430 MB/s sequential) and a shared memory bus.
@@ -207,6 +212,12 @@ broadcast decisions from table stats; map-side partial aggregation
 throughout; logical-partition (hash) checkpointing stable across cluster
 sizes. See PLANS.md and COVERAGE.md.
 """)
+    appendix = OUT_MD.parent / "APPENDIX.md"
+    if appendix.exists():
+        # analysis sections maintained by hand (e.g. the validate_full_cold
+        # composition study) survive regeneration
+        with OUT_MD.open("a") as fh:
+            fh.write("\n" + appendix.read_text())
     print(f"wrote {OUT_MD}")
 
 
