@@ -100,6 +100,33 @@ def main():
         .select(F.col("v").alias("u"), F.col("m").alias("v")).distinct()
     )
 
+    # incremental near-dedup: the delta side must BROADCAST onto the
+    # store scan (the store is the 10^12-row side; the delta is the
+    # daily sliver) — check the BuildLeft broadcast on (band, bh)
+    import shutil
+    import tempfile
+
+    from tdr_draft_metadata_validator_spark.pipeline import incremental
+
+    store_root = tempfile.mkdtemp(prefix="plans_sigstore_")
+    shutil.rmtree(store_root, ignore_errors=True)
+    docs_path = tempfile.mkdtemp(prefix="plans_docs_") + "/docs"
+    spark.createDataFrame(
+        [(i, f"doc {i} text {' '.join(str(j) for j in range(i % 5 + 3))}")
+         for i in range(120)],
+        "doc_id int, text string",
+    ).write.parquet(docs_path)
+    docs = spark.read.parquet(docs_path)  # parquet: size stats drive the broadcast
+    incremental.append_signatures(
+        docs.where(F.col("doc_id") >= 30), store_root, num_hashes=16, bands=4
+    )
+    sections["Incremental near-dedup (delta broadcast onto the store scan)"] = plan_of(
+        incremental.incremental_lsh_candidates(
+            spark, docs.where(F.col("doc_id") < 30), store_root
+        )
+    )
+    shutil.rmtree(store_root, ignore_errors=True)
+
     out = ["# PLANS — physical plans of the core operators\n",
            "Generated by scripts/explain_plans.py (local[4], parquet inputs).\n",
            "Checked properties: pruned ReadSchema (no `bytes` outside the",
@@ -118,6 +145,8 @@ def main():
     assert "* Project" in rule_plan or "*(1)" in rule_plan, "rule pass not codegen'd"
     dup_plan = sections["Salted duplicate agg (A1 two-phase)"]
     assert dup_plan.count("HashAggregate") >= 4, "expected two-phase (partial+final) x2"
+    inc_plan = sections["Incremental near-dedup (delta broadcast onto the store scan)"]
+    assert "BroadcastHashJoin" in inc_plan, "delta side must broadcast onto the store"
     spark.stop()
 
 
