@@ -340,6 +340,18 @@ def q_dedup_keep_first(spark, sf):
     return kept.select("doc_id")
 
 
+def q_dedup_with_counts(spark, sf):
+    """Dedup-with-multiplicity: one representative per identical text
+    plus n_copies — the input to duplication-aware loss weighting (the
+    count is the signal; the copies are the waste)."""
+    docs = _t(spark, sf, "documents")
+    doubled = docs.unionByName(
+        docs.where(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    kept = dedup.drop_exact_duplicates(doubled, keep_count=True)
+    return kept.select("doc_id", F.col("n_copies").cast("long").alias("n_copies"))
+
+
 def q_fingerprint(spark, sf):
     """Document fingerprint + token count + language ID (one projection)."""
     docs = _t(spark, sf, "documents")
@@ -828,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg": q_groupby_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
+        "dedup_with_counts": q_dedup_with_counts,
         "fingerprint": q_fingerprint,
         "quality": q_quality,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1391,6 +1404,16 @@ def _oracle_sqls() -> dict[str, str]:
               SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
             )
             SELECT doc_id FROM doubled
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+        "dedup_with_counts": """
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n_copies
+            FROM doubled
             QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         """,
         "fingerprint": f"""

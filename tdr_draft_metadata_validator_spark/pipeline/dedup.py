@@ -117,15 +117,27 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def drop_exact_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_count: bool = False,
+) -> DataFrame:
     """Keep one representative per identical text (min id wins —
-    deterministic). Window over the digest: one shuffle on md5."""
+    deterministic). Window over the digest: one shuffle on md5.
+
+    ``keep_count=True`` adds ``n_copies`` (how many rows collapsed into
+    the representative) — dedup-with-multiplicity, the standard input
+    to duplication-aware loss weighting / duplication-as-quality-signal
+    pipelines where the COUNT is the information and storing the copies
+    is the waste. Same single shuffle (count() over the same window
+    partition costs no extra exchange)."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    out = docs.withColumn("__rn", F.row_number().over(w))
+    if keep_count:
+        wc = Window.partitionBy(F.md5(F.col(text_col)))
+        out = out.withColumn("n_copies", F.count(F.lit(1)).over(wc))
+    return out.where(F.col("__rn") == 1).drop("__rn")
 
 
 # ---------------------------------------------------------------------------

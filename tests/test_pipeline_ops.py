@@ -1210,6 +1210,20 @@ def test_rebalance_domains_hits_target_mixture(spark):
         text.rebalance_domains(docs, {"rare.org": 0.0})
 
 
+def test_dedup_with_counts_multiplicity(spark):
+    """keep_count=True: one representative per identical text with the
+    collapse count — duplication-aware weighting input; default path
+    unchanged (no n_copies column)."""
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (5, "aaa"), (3, "bbb"), (4, "ccc")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["n_copies"]
+           for r in dedup.drop_exact_duplicates(docs, keep_count=True).collect()}
+    assert got == {1: 3, 3: 1, 4: 1}
+    assert "n_copies" not in dedup.drop_exact_duplicates(docs).columns
+
+
 def test_repetition_features_values(spark):
     """Gopher repetition signals, value-exact: duplicate lines and
     duplicate 3-grams counted against their totals; short docs get 0."""
