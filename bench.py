@@ -42,13 +42,16 @@ BENCH_QUERIES = [
     # round-3 additions
     "near_dup_components_star", "cube", "redact_pii", "extract_domains",
     "pack_sequences", "stratified_sample",
-    # round-4 additions: deep-graph CC crossover (judge r3 task 5 — star
-    # must beat min-label wall-clock on diameter >= 64; auto ~ star),
-    # incremental signature-store dedup, domain rebalancing, split-pure
-    # packing
-    "cc_deep_minlabel", "cc_deep_star", "cc_deep_auto",
+    # round-4 additions: incremental signature-store dedup, domain
+    # rebalancing, split-pure packing, dedup multiplicity, repetition
     "incremental_lsh_candidates", "rebalance_domains",
-    "pack_sequences_split",
+    "pack_sequences_split", "dedup_with_counts", "repetition_features",
+    # deep-graph CC crossover (judge r3 task 5 — star must beat
+    # min-label wall-clock on diameter >= 64; auto ~ star). LAST on
+    # purpose: min-label's ~65 sequential join rounds are the longest
+    # sustained burn in the bench, and on this credit-throttled host a
+    # long burn inflates whatever is measured after it.
+    "cc_deep_star", "cc_deep_auto", "cc_deep_minlabel",
 ]
 
 
