@@ -15,8 +15,10 @@ resources/sample*.csv, onto the audio-table shape):
 - ``sr_hz``     in {8000, 16000, 22050, 44100}
 - ``dur_ms``    in [dur_min, dur_max) (default 200..2000 to keep local
                  volumes sane; FIXTURES allows up to 15000)
-- ``codec``     in {pcm_s16le, flac, opus} (payloads are RIFF; see
-                 functions.audio_codec stubs)
+- ``codec``     in {pcm_s16le, flac, opus}: pcm payloads are RIFF,
+                 flac payloads are REAL FLAC streams (verbatim frames,
+                 functions.flac_codec), opus payloads are RIFF (decoded
+                 by the documented stub; see functions.audio_codec)
 - ``transcript``= 3..20 words from a fixed 64-word lexicon
 
 Distributed generation goes through ``mapInPandas`` over ``spark.range``
@@ -33,7 +35,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions.audio_codec import encode_ulaw, encode_wav_pcm16
+from .functions.audio_codec import encode_flac, encode_ulaw, encode_wav_pcm16
 from .models import CLIPS_SCHEMA, REF_CLIPS_SCHEMA
 
 SEED = 42
@@ -116,7 +118,14 @@ def clips_batch(indices: np.ndarray, seed: int = SEED,
         if ulaw_every and i % ulaw_every == 0:
             payload, codec = encode_ulaw(pcm, sr), "ulaw"
         else:
-            payload, codec = encode_wav_pcm16(pcm, sr), codec_of(i, seed)
+            codec = codec_of(i, seed)
+            if codec == "flac":
+                # REAL FLAC framing (verbatim subframes — lossless and
+                # fast on both sides); the gate's flac decoder refuses
+                # anything else, so a RIFF payload here would be a bug
+                payload = encode_flac(pcm, sr)
+            else:
+                payload = encode_wav_pcm16(pcm, sr)
         rows.append(
             (
                 clip_id_of(i),

@@ -15,12 +15,19 @@ Two codecs are REAL:
   sample-level-SNR residue path for real (quantization SNR ~35-40 dB on
   sine/speech-like signals — above the 30 dB threshold, below bit-exact).
 
-``flac`` and ``opus`` decode REAL when ``soundfile`` (libsndfile) is
-importable — the same import-try pattern as PIL in image_codec.py; in
-this container the lib is absent, so they fall back to deterministic
-stubs that delegate to the WAV parser (the synthetic generator always
-produces RIFF payloads for them). The lossy-path plumbing a real FLAC/
-opus decode would exercise is already covered end-to-end by ``ulaw``.
+- **flac** — decoded by the pure-numpy subset decoder in
+  :mod:`.flac_codec` (16-bit mono; CONSTANT/VERBATIM/FIXED subframes,
+  Rice residuals, CRC-8/CRC-16 verified) — REAL FLAC framing, so a
+  mislabeled RIFF payload now refuses instead of optimistically
+  decoding. When ``soundfile`` (libsndfile) is importable it takes
+  precedence (full-spec coverage incl. LPC); absent in this image.
+
+``opus`` decodes REAL only when ``soundfile`` is importable — the same
+import-try pattern as PIL in image_codec.py; in this container the lib
+is absent, so it falls back to a deterministic stub that delegates to
+the WAV parser (the synthetic generator produces RIFF payloads for
+``opus``). The lossy-path plumbing a real opus decode would exercise is
+covered end-to-end by ``ulaw``.
 """
 
 from __future__ import annotations
@@ -145,24 +152,24 @@ def _decode_soundfile(payload: bytes) -> tuple[int, np.ndarray]:
     return int(sr_hz), samples
 
 
-def decode_flac_stub(payload: bytes) -> tuple[int, np.ndarray]:
-    """FALLBACK when soundfile is absent (this image): synthetic 'flac'
+def decode_opus_stub(payload: bytes) -> tuple[int, np.ndarray]:
+    """FALLBACK when soundfile is absent (this image): synthetic 'opus'
     payloads are RIFF, so delegate to the WAV parser. Kept as a separate
     symbol so the dispatch table / tests exercise the codec routing for
-    real; :data:`DECODERS` binds 'flac' to the REAL soundfile decoder
+    real; :data:`DECODERS` binds 'opus' to the REAL soundfile decoder
     whenever the lib imports."""
     return decode_wav_pcm16(payload)
 
 
-def decode_opus_stub(payload: bytes) -> tuple[int, np.ndarray]:
-    """FALLBACK: see :func:`decode_flac_stub`."""
-    return decode_wav_pcm16(payload)
-
+from .flac_codec import decode_flac, encode_flac  # noqa: E402  (real subset codec)
 
 DECODERS = {
     "pcm_s16le": decode_wav_pcm16,
     "ulaw": decode_ulaw,
-    "flac": _decode_soundfile if _soundfile is not None else decode_flac_stub,
+    # soundfile (full spec, incl. LPC) preferred when present; the pure
+    # subset decoder otherwise — NEVER a WAV-delegating stub: flac-labeled
+    # bytes must carry real FLAC framing or fail the gate
+    "flac": _decode_soundfile if _soundfile is not None else decode_flac,
     "opus": _decode_soundfile if _soundfile is not None else decode_opus_stub,
 }
 

@@ -1,0 +1,641 @@
+"""Pure-numpy FLAC encode/decode — subset: 16-bit mono, no LPC.
+
+The decode-invariant gate (north_rule; reference analog: the byte-level
+UTF-8 gate, Lambda.scala:130-153) previously exercised ``codec='flac'``
+through a WAV-delegating stub whenever libsndfile was absent — so the
+SNR>=30dB invariant had never run against genuinely FLAC-framed bytes in
+this image, and a mislabeled RIFF payload would "decode" fine. This
+module closes that gap with a real (subset) FLAC implementation built
+only from the public format specification (RFC 9639 / xiph.org FLAC
+format document):
+
+- **decode_flac**: ``fLaC`` magic, metadata blocks (STREAMINFO parsed,
+  others skipped), frame headers (sync, blocksize/sample-rate/channel/
+  sample-size codes, UTF-8-coded frame number, CRC-8), subframes
+  CONSTANT / VERBATIM / FIXED(order 0-4, Rice-coded residuals,
+  4- and 5-bit parameters, escape partitions), frame CRC-16.
+  Unsupported-by-subset constructs (LPC subframes, multi-channel,
+  bps != 16, wasted bits) raise ``ValueError`` — the decode gate turns
+  that into a violation row, exactly like structural corruption.
+- **encode_flac**: fixed-blocksize streams with VERBATIM subframes (the
+  fast path datagen uses — real, spec-valid FLAC any decoder accepts)
+  or FIXED-predictor Rice-coded subframes (real compression; used by
+  tests to exercise the residual path).
+
+Throughput note (the gate decodes EVERY clip, stage 1 of
+operators/audio.py): VERBATIM 16-bit subframes start byte-aligned, so
+sample extraction is one big-endian ``np.frombuffer`` per frame, and
+frame CRC-16s are verified for the whole clip in ONE vectorized pass
+(:func:`crc16_many`: bytes fold chunk-parallel under the table-driven
+update, then chunk CRCs combine through precomputed GF(2) shift maps —
+CRC is linear over GF(2), so "append m zero bytes" is a 16x16 bit
+matrix, representable as two 256-entry lookup tables). That keeps the
+per-clip Python cost at a handful of numpy calls instead of a per-byte
+interpreter loop over ~100 KB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "crc8",
+    "crc16",
+    "crc16_many",
+    "decode_flac",
+    "encode_flac",
+]
+
+# ---------------------------------------------------------------------------
+# CRCs: CRC-8 poly 0x07 and CRC-16 poly 0x8005, both init 0, MSB-first,
+# no reflection, no xor-out (the FLAC frame CRCs). Check values (public
+# catalog): crc8(b"123456789") == 0xF4, crc16(b"123456789") == 0xFEE8.
+# ---------------------------------------------------------------------------
+
+
+def _build_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = np.zeros(256, dtype=np.uint16 if width == 16 else np.uint8)
+    for i in range(256):
+        crc = i << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+        table[i] = crc & mask
+    return table
+
+
+_CRC8_TABLE = _build_table(0x07, 8)
+_CRC16_TABLE = _build_table(0x8005, 16)
+
+
+def crc8(data: bytes | bytearray | memoryview) -> int:
+    crc = 0
+    for b in bytes(data):
+        crc = int(_CRC8_TABLE[crc ^ b])
+    return crc
+
+
+def _crc16_scalar(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = int(_CRC16_TABLE[((crc >> 8) ^ b) & 0xFF]) ^ ((crc << 8) & 0xFFFF)
+    return crc
+
+
+# Vectorized CRC-16. With init=0 and no reflection, a leading zero byte
+# is a no-op (state stays 0), so messages can be FRONT-padded freely;
+# and the state update is linear over GF(2), so "advance the state past
+# m zero bytes" is a linear map S_m on 16 bits, stored as two 256-entry
+# tables (high byte -> contribution, low byte -> contribution) and
+# composed by doubling: S_2m = S_m . S_m.
+
+_CHUNK = 32  # bytes folded per chunk in the data-parallel pass
+_shift_cache: list[tuple[np.ndarray, np.ndarray]] = []  # [l] = shift by _CHUNK*2^l
+
+
+def _apply_shift(tabs: tuple[np.ndarray, np.ndarray], x: np.ndarray) -> np.ndarray:
+    hi, lo = tabs
+    return hi[x >> 8] ^ lo[x & 0xFF]
+
+
+def _shift_tables(level: int) -> tuple[np.ndarray, np.ndarray]:
+    if not _shift_cache:
+        b = np.arange(256, dtype=np.uint16)
+        # shift by ONE zero byte: s' = table[s>>8] ^ (s<<8)
+        t = (_CRC16_TABLE[b].copy(), ((b << 8) & 0xFFFF).astype(np.uint16))
+        for _ in range(5):  # double 1 -> 32 == _CHUNK
+            t = (_apply_shift(t, t[0]), _apply_shift(t, t[1]))
+        _shift_cache.append(t)
+    while len(_shift_cache) <= level:
+        t = _shift_cache[-1]
+        _shift_cache.append((_apply_shift(t, t[0]), _apply_shift(t, t[1])))
+    return _shift_cache[level]
+
+
+def crc16_many(frames: list) -> np.ndarray:
+    """CRC-16 of each byte string in ``frames`` in one vectorized pass
+    (uint16 array out). Frames are front-padded with zeros to a common
+    power-of-two chunk count — a no-op for this CRC — so the table
+    update runs data-parallel across (frame, chunk) and the per-chunk
+    CRCs fold pairwise through the precomputed shift maps."""
+    nf = len(frames)
+    if nf == 0:
+        return np.zeros(0, dtype=np.uint16)
+    bufs = [
+        f if isinstance(f, np.ndarray) else np.frombuffer(bytes(f), dtype=np.uint8)
+        for f in frames
+    ]
+    maxlen = max(b.size for b in bufs)
+    k = 1
+    while k * _CHUNK < maxlen:
+        k <<= 1
+    total = k * _CHUNK
+    arr = np.zeros((nf, total), dtype=np.uint8)
+    for i, b in enumerate(bufs):
+        if b.size:
+            arr[i, total - b.size:] = b
+    chunks = arr.reshape(nf, k, _CHUNK)
+    crcs = np.zeros((nf, k), dtype=np.uint16)
+    for j in range(_CHUNK):
+        idx = (crcs >> 8) ^ chunks[:, :, j]
+        crcs = _CRC16_TABLE[idx] ^ (crcs << np.uint16(8))
+    level = 0
+    while crcs.shape[1] > 1:
+        left = crcs[:, 0::2]
+        crcs = _apply_shift(_shift_tables(level), left) ^ crcs[:, 1::2]
+        level += 1
+    return crcs[:, 0]
+
+
+def crc16(data: bytes | bytearray | memoryview | np.ndarray) -> int:
+    n = data.size if isinstance(data, np.ndarray) else len(data)
+    if n < 512:
+        raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+        return _crc16_scalar(raw)
+    return int(crc16_many([data])[0])
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (MSB-first, as the FLAC spec defines)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            self._out.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def write_unary(self, q: int) -> None:
+        self.write(1, q + 1)  # q zero bits then a one bit
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+    def getvalue(self) -> bytes:
+        assert self._n == 0, "unaligned bit writer"
+        return bytes(self._out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, byte_pos: int = 0) -> None:
+        self._buf = buf
+        self._pos = byte_pos  # next unread byte
+        self._acc = 0
+        self._n = 0
+
+    def read(self, nbits: int) -> int:
+        while self._n < nbits:
+            if self._pos >= len(self._buf):
+                raise ValueError("truncated FLAC frame")
+            self._acc = (self._acc << 8) | self._buf[self._pos]
+            self._pos += 1
+            self._n += 8
+        self._n -= nbits
+        val = (self._acc >> self._n) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._n) - 1
+        return val
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    @property
+    def aligned(self) -> bool:
+        return self._n == 0
+
+    @property
+    def byte_pos(self) -> int:
+        return self._pos
+
+    def skip_bytes(self, n: int) -> None:
+        assert self._n == 0
+        if self._pos + n > len(self._buf):
+            raise ValueError("truncated FLAC frame")
+        self._pos += n
+
+    def align(self) -> None:
+        if self._n and self._acc:
+            raise ValueError("non-zero padding bits in FLAC frame")
+        self._n = 0
+        self._acc = 0
+
+
+# ---------------------------------------------------------------------------
+# the FLAC "extended UTF-8" coded number (frame/sample number field)
+# ---------------------------------------------------------------------------
+
+
+def _utf8_encode(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, maxv in (
+        (2, 1 << 11), (3, 1 << 16), (4, 1 << 21),
+        (5, 1 << 26), (6, 1 << 31), (7, 1 << 36),
+    ):
+        if n < maxv:
+            break
+    else:
+        raise ValueError(f"coded number {n} out of range")
+    cont = nbytes - 1
+    out = bytearray()
+    if nbytes == 7:
+        out.append(0xFE)
+    else:
+        prefix = (0xFF << (8 - nbytes)) & 0xFF
+        out.append(prefix | (n >> (6 * cont)))
+    for i in range(cont - 1, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _utf8_decode(buf: bytes, off: int) -> tuple[int, int]:
+    if off >= len(buf):
+        raise ValueError("truncated coded number")
+    b0 = buf[off]
+    ones = 0
+    while ones < 8 and (b0 << ones) & 0x80:
+        ones += 1
+    if ones == 0:
+        return b0, off + 1
+    if ones == 1 or ones == 8:
+        raise ValueError("malformed coded number")
+    cont = ones - 1 if ones < 7 else 6
+    n = b0 & (0x7F >> ones) if ones < 7 else 0
+    if off + 1 + cont > len(buf):
+        raise ValueError("truncated coded number")
+    for i in range(cont):
+        b = buf[off + 1 + i]
+        if (b & 0xC0) != 0x80:
+            raise ValueError("malformed coded number continuation")
+        n = (n << 6) | (b & 0x3F)
+    return n, off + 1 + cont
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _frame_header(frame_index: int, blocksize: int) -> bytes:
+    # sync(14)=0b11111111111110, reserved(1)=0, blocking(1)=0 (fixed);
+    # blocksize code 0b0111 (16-bit value-1 follows the coded number),
+    # sample-rate code 0b0000 (get from STREAMINFO); channel 0b0000
+    # (mono), sample size 0b100 (16 bit), reserved 0.
+    hdr = bytearray([0xFF, 0xF8, 0x70, 0x08])
+    hdr += _utf8_encode(frame_index)
+    hdr += struct.pack(">H", blocksize - 1)
+    hdr.append(crc8(hdr))
+    return bytes(hdr)
+
+
+def _encode_fixed_subframe(block: np.ndarray, order: int) -> bytes:
+    bw = _BitWriter()
+    bw.write(((0x08 | order) << 1), 8)  # 001xxx fixed, wasted-bits flag 0
+    x = block.astype(np.int64)
+    for i in range(order):
+        bw.write(int(x[i]), 16)
+    res = x
+    for _ in range(order):
+        res = np.diff(res)
+    u = np.where(res >= 0, res << 1, (-res << 1) - 1).astype(np.int64)
+    mean = float(u.mean()) if u.size else 0.0
+    param = min(14, max(0, int(mean).bit_length() - 1)) if mean >= 1 else 0
+    bw.write(0, 2)   # residual method: 4-bit Rice parameters
+    bw.write(0, 4)   # partition order 0 -> one partition
+    bw.write(param, 4)
+    for v in u.tolist():
+        bw.write_unary(v >> param)
+        if param:
+            bw.write(v & ((1 << param) - 1), param)
+    bw.align()
+    return bw.getvalue()
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sr_hz: int,
+    blocksize: int = 4096,
+    subframe: str = "verbatim",
+    fixed_order: int = 2,
+) -> bytes:
+    """Encode int16 mono samples as a real, spec-valid FLAC stream.
+
+    ``subframe="verbatim"`` is lossless and FAST on both sides (sample
+    payloads stay byte-aligned big-endian int16; datagen's choice);
+    ``subframe="fixed"`` emits FIXED-predictor subframes with Rice-coded
+    residuals (real compression — tests use it to exercise the residual
+    decode path). Both are lossless: decode -> bit-identical PCM.
+    """
+    if not 16 <= blocksize <= 65536:
+        raise ValueError(f"blocksize {blocksize} out of range")
+    if subframe not in ("verbatim", "fixed"):
+        raise ValueError(f"unknown subframe mode {subframe!r}")
+    if not 0 <= fixed_order <= 4:
+        raise ValueError(f"fixed order {fixed_order} out of range")
+    x = np.ascontiguousarray(np.asarray(samples, dtype=np.int16))
+    n = x.size
+
+    si = _BitWriter()
+    si.write(blocksize, 16)   # min blocksize
+    si.write(blocksize, 16)   # max blocksize
+    si.write(0, 24)           # min frame size: unknown
+    si.write(0, 24)           # max frame size: unknown
+    si.write(sr_hz, 20)
+    si.write(0, 3)            # channels - 1
+    si.write(15, 5)           # bits per sample - 1
+    si.write(n, 36)
+    streaminfo = si.getvalue() + b"\x00" * 16  # MD5 zeros = unknown (spec)
+    head = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    frames: list[bytes] = []
+    for fi, start in enumerate(range(0, n, blocksize)):
+        block = x[start:start + blocksize]
+        hdr = _frame_header(fi, block.size)
+        if subframe == "verbatim":
+            body = b"\x02" + block.astype(">i2").tobytes()
+        else:
+            order = min(fixed_order, max(0, block.size - 1))
+            body = _encode_fixed_subframe(block, order)
+        frames.append(hdr + body)
+    if not frames:  # zero-sample stream: STREAMINFO only, no frames
+        return head
+    crcs = crc16_many(frames)
+    return head + b"".join(
+        f + struct.pack(">H", int(c)) for f, c in zip(frames, crcs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+_BLOCKSIZE_FIXED = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_SR_FIXED = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+             7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+
+
+def _parse_streaminfo(body: bytes) -> tuple[int, int, int, int]:
+    if len(body) < 34:
+        raise ValueError("truncated STREAMINFO")
+    br = _BitReader(body)
+    br.read(16)  # min blocksize
+    br.read(16)  # max blocksize
+    br.read(24)  # min frame size
+    br.read(24)  # max frame size
+    sr = br.read(20)
+    channels = br.read(3) + 1
+    bps = br.read(5) + 1
+    total = br.read(36)
+    if sr <= 0:
+        raise ValueError(f"invalid sample rate {sr}")
+    return sr, channels, bps, total
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if br.read(1) != 0:
+        raise ValueError("bad subframe header padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits-per-sample flag
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample size")
+    if stype == 0:  # CONSTANT
+        out = np.full(blocksize, br.read_signed(eff), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        if eff == 16 and br.aligned:
+            pos = br.byte_pos
+            br.skip_bytes(2 * blocksize)
+            out = np.frombuffer(
+                br._buf, dtype=">i2", count=blocksize, offset=pos
+            ).astype(np.int64)
+        else:
+            out = np.fromiter(
+                (br.read_signed(eff) for _ in range(blocksize)),
+                dtype=np.int64, count=blocksize,
+            )
+    elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        if order > blocksize:
+            raise ValueError("fixed order exceeds blocksize")
+        warm = np.array(
+            [br.read_signed(eff) for _ in range(order)], dtype=np.int64
+        )
+        res = _decode_residual(br, blocksize, order)
+        if order == 0:
+            out = res
+        else:
+            # e = order-th difference of x  =>  x = order-fold cumsum,
+            # each integration seeded by the warm-ups' (j-1)-th
+            # difference at the last warm-up position
+            cur = res
+            for j in range(order, 0, -1):
+                cur = np.diff(warm, j - 1)[-1] + np.cumsum(cur)
+            out = np.concatenate((warm, cur))
+    elif 32 <= stype <= 63:
+        raise ValueError("LPC subframes unsupported (FLAC subset decoder)")
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def _decode_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize // nparts <= (order if porder else 0):
+        raise ValueError("invalid residual partition order")
+    res = np.empty(blocksize - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        cnt = blocksize // nparts - (order if p == 0 else 0)
+        param = br.read(plen)
+        if param == escape:
+            nbits = br.read(5)
+            vals = [br.read_signed(nbits) if nbits else 0 for _ in range(cnt)]
+        else:
+            vals = []
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                vals.append((u >> 1) ^ -(u & 1))
+        res[pos:pos + cnt] = vals
+        pos += cnt
+    return res
+
+
+def _decode_frame(
+    payload: bytes, off: int, sr: int, bps: int
+) -> tuple[np.ndarray, int, int]:
+    """-> (samples int64, end offset past CRC-16, frame start offset).
+    CRC-16 is NOT verified here — the caller batches all frames of the
+    stream through one :func:`crc16_many` pass."""
+    if off + 5 > len(payload):
+        raise ValueError("truncated frame header")
+    b0, b1, b2, b3 = payload[off:off + 4]
+    if b0 != 0xFF or (b1 & 0xFC) != 0xF8:
+        raise ValueError("bad frame sync code")
+    # b1 & 0x01 = blocking strategy (0 fixed / 1 variable): both parse;
+    # the coded number is a frame index or a sample index respectively.
+    bs_code, sr_code = b2 >> 4, b2 & 0xF
+    chan, size_code = b3 >> 4, (b3 >> 1) & 0x7
+    if b3 & 1:
+        raise ValueError("reserved frame header bit set")
+    if chan != 0:
+        raise ValueError(f"unsupported layout ch={chan + 1}")
+    if size_code == 0:
+        frame_bps = bps
+    elif size_code == 4:
+        frame_bps = 16
+    else:
+        raise ValueError(f"unsupported sample size code {size_code}")
+    if frame_bps != 16:
+        raise ValueError(f"unsupported bits-per-sample {frame_bps}")
+    pos = off + 4
+    _num, pos = _utf8_decode(payload, pos)
+    if bs_code == 0:
+        raise ValueError("reserved blocksize code 0")
+    elif bs_code == 6:
+        if pos + 1 > len(payload):
+            raise ValueError("truncated blocksize field")
+        blocksize = payload[pos] + 1
+        pos += 1
+    elif bs_code == 7:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated blocksize field")
+        blocksize = struct.unpack_from(">H", payload, pos)[0] + 1
+        pos += 2
+    else:
+        blocksize = _BLOCKSIZE_FIXED[bs_code]
+    if sr_code == 0:
+        frame_sr = sr
+    elif sr_code in _SR_FIXED:
+        frame_sr = _SR_FIXED[sr_code]
+    elif sr_code == 12:
+        frame_sr = payload[pos] * 1000
+        pos += 1
+    elif sr_code == 13:
+        frame_sr = struct.unpack_from(">H", payload, pos)[0]
+        pos += 2
+    elif sr_code == 14:
+        frame_sr = struct.unpack_from(">H", payload, pos)[0] * 10
+        pos += 2
+    else:
+        raise ValueError("invalid sample rate code 15")
+    if frame_sr != sr:
+        raise ValueError(f"frame sample rate {frame_sr} != STREAMINFO {sr}")
+    if pos >= len(payload):
+        raise ValueError("truncated frame header")
+    if crc8(payload[off:pos]) != payload[pos]:
+        raise ValueError("frame header CRC-8 mismatch")
+    pos += 1
+    br = _BitReader(payload, pos)
+    samples = _decode_subframe(br, blocksize, frame_bps)
+    br.align()
+    end = br.byte_pos
+    if end + 2 > len(payload):
+        raise ValueError("truncated frame CRC-16")
+    return samples, end + 2, off
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream (subset: mono, 16-bit, CONSTANT/VERBATIM/
+    FIXED subframes) -> (sr_hz, int16 samples). Any structural
+    corruption or out-of-subset construct raises ``ValueError`` — the
+    decode gate maps that to a violation row, never a crash."""
+    if payload is None or len(payload) < 4 + 4 + 34:
+        raise ValueError("payload too short for FLAC stream")
+    if payload[0:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    off = 4
+    sr = channels = bps = total = None
+    last = False
+    while not last:
+        if off + 4 > len(payload):
+            raise ValueError("truncated metadata block header")
+        h = payload[off]
+        last = bool(h & 0x80)
+        btype = h & 0x7F
+        blen = int.from_bytes(payload[off + 1:off + 4], "big")
+        if off + 4 + blen > len(payload):
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            sr, channels, bps, total = _parse_streaminfo(
+                payload[off + 4:off + 4 + blen]
+            )
+        elif btype == 127:
+            raise ValueError("invalid metadata block type 127")
+        off += 4 + blen
+    if sr is None:
+        raise ValueError("missing STREAMINFO block")
+    if channels != 1:
+        raise ValueError(f"unsupported layout ch={channels}")
+    if bps != 16:
+        raise ValueError(f"unsupported bits-per-sample {bps}")
+
+    chunks: list[np.ndarray] = []
+    frame_spans: list[tuple[int, int]] = []  # (start, end_excl_crc)
+    got = 0
+    while off < len(payload) and (total == 0 or got < total):
+        samples, end, start = _decode_frame(payload, off, sr, bps)
+        frame_spans.append((start, end - 2))
+        chunks.append(samples)
+        got += samples.size
+        off = end
+    if total and got != total:
+        raise ValueError(f"decoded {got} samples, STREAMINFO says {total}")
+    if off != len(payload):
+        raise ValueError("trailing bytes after final frame")
+
+    if frame_spans:  # batch-verify every frame CRC-16 in one pass
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        want = crc16_many([buf[s:e] for s, e in frame_spans])
+        stored = np.array(
+            [(payload[e] << 8) | payload[e + 1] for _, e in frame_spans],
+            dtype=np.uint16,
+        )
+        if not np.array_equal(want, stored):
+            raise ValueError("frame CRC-16 mismatch")
+
+    out = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+    if out.size and (out.max() > 32767 or out.min() < -32768):
+        raise ValueError("decoded sample out of int16 range")
+    return sr, out.astype(np.int16)

@@ -17,6 +17,9 @@ def _tables(spark, n=5, noisy_idx=None):
             -32768, 32767
         ).astype(np.int16)
         pdf.loc[noisy_idx, "bytes"] = encode_wav_pcm16(noisy, datagen.sr_of(noisy_idx))
+        # keep payload and label consistent: datagen may label this index
+        # 'flac' (real FLAC framing since r5), but the noisy bytes are RIFF
+        pdf.loc[noisy_idx, "codec"] = "pcm_s16le"
     clips = datagen.clips_df(spark, pdf)
     ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(n)))
     return clips, ref
