@@ -276,6 +276,7 @@ def near_dedup_stream(
     text_col: str = "transcript",
     checkpoint_dir: str | None = None,
     append_to_store: bool = True,
+    lsh_params: dict | None = None,
 ):
     """The incremental near-dedup workflow (pipeline.incremental) as a
     continuous pipeline: each arriving micro-batch's MinHash band
@@ -294,13 +295,22 @@ def near_dedup_stream(
     duplicate buckets only widen candidate n_bands counts, never drop
     pairs, and compact_signature_store reconciles).
 
+    ``lsh_params`` (num_hashes/bands/n/lane/store_buckets) configures
+    the store when the FIRST batch creates it; once the store exists,
+    its pinned manifest parameters win (a mismatch refuses — see
+    pipeline.incremental). The first batch is NOT special otherwise: it
+    runs the delta x delta candidate join against an empty store side,
+    so intra-batch duplicates are reported from batch 0, and its append
+    honors ``append_to_store`` like every later batch (a read-only
+    monitor stays read-only).
+
     Returns (query, pairs_log) — pairs_log collects
     (batch_id, id_a, id_b, n_bands_matched) tuples; production swaps
     the driver-side log for a partitioned sink write in the same
     callback (the candidate set per batch is O(delta), small by
     construction).
     """
-    from ..pipeline import incremental
+    from ..pipeline import dedup, incremental
 
     pairs_log: list[tuple[int, str, str, int]] = []
 
@@ -310,22 +320,30 @@ def near_dedup_stream(
         spark = batch_df.sparkSession
         params = incremental.store_params(store_root)
         if params is None:
-            # first batch bootstraps the store; nothing to dedup against
-            incremental.append_signatures(
-                batch_df, store_root, id_col=id_col, text_col=text_col,
+            # no store yet: the store side of the join is empty, so the
+            # candidates are exactly the batch's self-join
+            lsh = {"num_hashes": 32, "bands": 8, "n": 3, "lane": "xxhash64",
+                   **(lsh_params or {})}
+            pairs = dedup.minhash_lsh_candidates(
+                batch_df,
+                num_hashes=lsh["num_hashes"], bands=lsh["bands"], n=lsh["n"],
+                id_col=id_col, text_col=text_col, lane=lsh["lane"],
             )
-            return
-        pairs = incremental.incremental_lsh_candidates(
-            spark, batch_df, store_root, id_col=id_col, text_col=text_col,
-        )
+        else:
+            pairs = incremental.incremental_lsh_candidates(
+                spark, batch_df, store_root, id_col=id_col, text_col=text_col,
+            )
         for r in pairs.collect():
             pairs_log.append(
                 (batch_id, r["id_a"], r["id_b"], r["n_bands_matched"])
             )
         if append_to_store:
+            kw = params or lsh_params or {}
             incremental.append_signatures(
                 batch_df, store_root, id_col=id_col, text_col=text_col,
-                **params,
+                **{k: v for k, v in kw.items()
+                   if k in ("num_hashes", "bands", "n", "lane",
+                            "store_buckets")},
             )
 
     writer = clips_stream.writeStream.foreachBatch(on_batch).outputMode("append")

@@ -1,0 +1,176 @@
+"""Bucketed signature store (judge r4 tasks 1 + 8, advice delta-mode
+fix): partition-pruned delta joins, tombstoned supersession, and the
+single-writer lock."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tdr_draft_metadata_validator_spark.pipeline import dedup, incremental
+
+
+def _docs(spark, n=120):
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "oak tree by the river bank every single morning")
+    rows = []
+    for i in range(n):
+        if i % 6 == 0:
+            rows.append((i, base))
+        else:
+            rows.append((i, f"unique doc {i} topic {i * 13 % 11} body "
+                            f"filler {i} trailing words {i * 7 % 5}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _seed_store(spark, docs, root, lo=30):
+    incremental.append_signatures(
+        docs.where(F.col("doc_id") >= 80), root, num_hashes=16, bands=4)
+    incremental.append_signatures(
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < 80)), root,
+        num_hashes=16, bands=4)
+
+
+def test_delta_join_prunes_store_and_broadcasts(spark, tmp_path):
+    """Judge r4 task 1 'done' criterion: no full-store Exchange in
+    incremental_lsh_candidates. The store scans carry PARTITION filters
+    ((band, bp) cells of the delta only), the bucket join broadcasts the
+    delta side (never SortMergeJoin over the store), and every
+    hash-partitioning Exchange in the plan is on the candidate-pair
+    columns — O(matches), never O(store)."""
+    docs = _docs(spark)
+    root = str(tmp_path / "store")
+    _seed_store(spark, docs, root)
+    delta = docs.where(F.col("doc_id") < 30)
+    out = incremental.incremental_lsh_candidates(spark, delta, root)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # store batches are the only FileScans in this plan (the delta side
+    # is a localCheckpoint -> Scan ExistingRDD); Location paths get
+    # truncated at 100 chars in toString, so match on the node type
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2, plan  # one per committed batch
+    for ln in scans:
+        assert "PartitionFilters: [" in ln
+        pf = ln.split("PartitionFilters: [", 1)[1]
+        assert not pf.startswith("]"), f"empty partition filter: {ln[:200]}"
+        assert "band" in pf and "bp" in pf
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "id_a" in ln, f"non-pair-side shuffle: {ln[:200]}"
+
+    # and the pruned plan is still LOSSLESS vs the full run
+    full = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    delta_ids = {str(i) for i in range(30)}
+    want = {(r["id_a"], r["id_b"], r["n_bands_matched"])
+            for r in full.collect()
+            if r["id_a"] in delta_ids or r["id_b"] in delta_ids}
+    got = {(r["id_a"], r["id_b"], r["n_bands_matched"]) for r in out.collect()}
+    assert got == want and got
+
+
+def test_retire_signatures_supersedes_changed_docs(spark, tmp_path):
+    """ADVICE r4 (validate.py delta-mode changed): a changed document's
+    OLD buckets must stop producing candidates once retired — otherwise
+    later deltas draw phantom pairs from superseded text."""
+    docs = _docs(spark, 60)
+    root = str(tmp_path / "store")
+    incremental.append_signatures(
+        docs.where(F.col("doc_id") >= 10), root, num_hashes=16, bands=4)
+
+    # doc 12 (dup-cluster member: 12 % 6 == 0) is CHANGED to unique text
+    changed = spark.createDataFrame(
+        [(12, "completely new text after the edit with no shared shingles "
+              "at all anywhere in this replacement body")],
+        "doc_id int, text string")
+    delta = docs.where(F.col("doc_id") < 10)  # contains dup member 0 and 6
+
+    before = {(r["id_a"], r["id_b"])
+              for r in incremental.incremental_lsh_candidates(
+                  spark, delta, root).collect()}
+    assert ("0", "12") in before  # old text still pairs
+
+    incremental.retire_signatures(spark, root, changed.select("doc_id"))
+    incremental.append_signatures(changed, root, num_hashes=16, bands=4)
+
+    after = {(r["id_a"], r["id_b"])
+             for r in incremental.incremental_lsh_candidates(
+                 spark, delta, root).collect()}
+    assert ("0", "12") not in after          # superseded buckets are gone
+    assert ("0", "18") in after              # untouched dup members remain
+    assert after == {p for p in before if "12" not in p}
+
+    # compaction applies tombstones physically and clears the list
+    bid = incremental.compact_signature_store(spark, root)
+    man = incremental._manifest(root)
+    assert man["tombstones"] == []
+    assert [b["batch_id"] for b in man["batches"]] == [bid]
+    assert not [p for p in os.listdir(root) if p.startswith("tombstone-")]
+    again = {(r["id_a"], r["id_b"])
+             for r in incremental.incremental_lsh_candidates(
+                 spark, delta, root).collect()}
+    assert again == after
+
+
+def test_writer_lock_refuses_concurrent_mutation(spark, tmp_path):
+    """Judge r4 task 8: a compaction racing an append could drop the
+    appended batch from the rewritten manifest — mutations serialize on
+    an exclusive lockfile and REFUSE (never race) when it is held."""
+    docs = _docs(spark, 30)
+    root = str(tmp_path / "store")
+    incremental.append_signatures(docs, root, num_hashes=16, bands=4)
+
+    with incremental._writer_lock(root):  # a concurrent writer holds it
+        with pytest.raises(incremental.StoreLockedError, match="pid"):
+            incremental.append_signatures(docs, root, num_hashes=16, bands=4)
+        with pytest.raises(incremental.StoreLockedError):
+            incremental.compact_signature_store(spark, root)
+        with pytest.raises(incremental.StoreLockedError):
+            incremental.retire_signatures(spark, root, docs.select("doc_id"))
+    # lock released -> mutations proceed; stale-crash path via force_unlock
+    incremental.append_signatures(docs, root, num_hashes=16, bands=4)
+    open(os.path.join(root, incremental.LOCK), "w").write("99999")
+    assert incremental.force_unlock(root)
+    incremental.compact_signature_store(spark, root)
+
+
+def test_legacy_flat_store_reads_and_upgrades(spark, tmp_path):
+    """A round-4 store (flat batches, list-form manifest, no
+    store_buckets) still reads losslessly (full-scan fallback) and a
+    compaction upgrades it to the bucketed layout in place."""
+    import json
+
+    docs = _docs(spark, 60)
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    buckets = dedup.minhash_band_buckets(
+        docs.where(F.col("doc_id") >= 15), 16, 4, 3, "doc_id", "text")
+    buckets.write.parquet(os.path.join(root, "batch-1"))
+    json.dump({"num_hashes": 16, "bands": 4, "n": 3, "lane": "xxhash64"},
+              open(os.path.join(root, incremental.PARAMS), "w"))
+    json.dump([{"batch_id": 1, "path": "batch-1"}],
+              open(os.path.join(root, incremental.BATCHES), "w"))
+
+    delta = docs.where(F.col("doc_id") < 15)
+    delta_ids = {str(i) for i in range(15)}
+    full = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    want = {(r["id_a"], r["id_b"]) for r in full.collect()
+            if r["id_a"] in delta_ids or r["id_b"] in delta_ids}
+    got = {(r["id_a"], r["id_b"])
+           for r in incremental.incremental_lsh_candidates(
+               spark, delta, root).collect()}
+    assert got == want and got
+
+    incremental.compact_signature_store(spark, root)
+    assert incremental.store_params(root)["store_buckets"] == 16
+    got2 = {(r["id_a"], r["id_b"])
+            for r in incremental.incremental_lsh_candidates(
+                spark, delta, root).collect()}
+    assert got2 == want
+    # post-upgrade scans are partition-pruned
+    out = incremental.incremental_lsh_candidates(spark, delta, root)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any("PartitionFilters: [" in ln and "band" in ln.split(
+        "PartitionFilters: [", 1)[1] for ln in plan.splitlines())

@@ -228,3 +228,67 @@ def test_expire_snapshots_retention(spark, tmp_path):
     with _pytest.raises(ValueError):
         read_snapshot(spark, root, snapshot_id=1)
     assert expire_snapshots(root, keep_last=5) == []                  # no-op
+
+
+def test_cli_changed_mode_retires_superseded_buckets(spark, tmp_path, capsys):
+    """ADVICE r4 (validate.py --delta-mode changed): a changed clip's
+    OLD transcript buckets are tombstoned in the same run that appends
+    its new ones — a later delta that duplicates the OLD text must not
+    draw a phantom candidate pair from the superseded clip."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    store = str(tmp_path / "sigstore")
+    v1 = datagen.clips_batch(np.arange(30))
+    commit_snapshot(datagen.clips_df(spark, v1), root)               # snap 1
+
+    # snap 2: clip 5's transcript CHANGES to unique text
+    v2 = v1.copy()
+    old_text_of_5 = v1.loc[5, "transcript"]
+    v2.loc[5, "transcript"] = "totally new words after the big edit"
+    commit_snapshot(datagen.clips_df(spark, v2), root)               # snap 2
+
+    ref = str(tmp_path / "ref.parquet")       # matches snaps 1-2 (30 rows)
+    datagen.ref_df(spark, datagen.ref_batch(np.arange(30))).write.parquet(ref)
+    ref31 = str(tmp_path / "ref31.parquet")   # matches snap 3 (31 rows)
+    datagen.ref_df(spark, datagen.ref_batch(np.arange(31))).write.parquet(ref31)
+
+    rc = cli.main([
+        "--table", f"snap:{root}", "--snapshot-id", "1", "--ref", ref,
+        "--near-dedup-store", store,
+        "--output", str(tmp_path / "o1"), "--run-id", "c1",
+        "--no-audio", "--partitions", "4",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+
+    rc2 = cli.main([
+        "--table", f"snap:{root}", "--ref", ref,
+        "--since-snapshot", "1", "--delta-mode", "changed",
+        "--near-dedup-store", store,
+        "--output", str(tmp_path / "o2"), "--run-id", "c2",
+        "--no-audio", "--partitions", "4",
+    ])
+    capsys.readouterr()
+    assert rc2 == 0  # --no-audio: the transcript check is not in play
+    # clip 5's old buckets are tombstoned
+    assert [p for p in os.listdir(store) if p.startswith("tombstone-")]
+
+    # snap 3: NEW clip 30 arrives with clip 5's OLD transcript
+    v3 = datagen.clips_batch(np.arange(31))
+    v3.loc[5, "transcript"] = "totally new words after the big edit"
+    v3.loc[30, "transcript"] = old_text_of_5
+    commit_snapshot(datagen.clips_df(spark, v3), root)               # snap 3
+
+    rc3 = cli.main([
+        "--table", f"snap:{root}", "--ref", ref31,
+        "--since-snapshot", "2", "--near-dedup-store", store,
+        "--output", str(tmp_path / "o3"), "--run-id", "c3",
+        "--no-audio", "--partitions", "4",
+    ])
+    capsys.readouterr()
+    pairs = spark.read.parquet(str(tmp_path / "o3" / "near_dup_pairs"))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    phantom = tuple(sorted([datagen.clip_id_of(5), datagen.clip_id_of(30)]))
+    assert phantom not in got  # superseded buckets cannot pair
+    assert rc3 in (0, 1)

@@ -281,3 +281,58 @@ def test_streaming_near_dedup_against_store(spark, tmp_path):
     new_ids = {datagen.clip_id_of(i) for i in range(30, 40)}
     assert all(a in new_ids or b in new_ids for (a, b) in got)
     assert os.path.isdir(os.path.join(store, "batch-2"))  # appended
+
+
+def test_streaming_near_dedup_bootstrap_semantics(spark, tmp_path):
+    """ADVICE r4: the FIRST batch is not special — intra-batch duplicate
+    pairs are reported from batch 0 (delta x delta with an empty store
+    side), append_to_store=False really is read-only (no store created),
+    and lsh_params configure the store the bootstrap batch creates
+    (pinned thereafter)."""
+    import os
+
+    from tdr_draft_metadata_validator_spark.pipeline import incremental
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        near_dedup_stream,
+    )
+
+    v1 = datagen.clips_batch(np.arange(20))
+    v1.loc[v1.index[7], "transcript"] = v1.loc[3, "transcript"]  # intra dup
+
+    # read-only monitor: pairs reported, store never created
+    src_ro = str(tmp_path / "in_ro")
+    datagen.clips_df(spark, v1).write.parquet(src_ro)
+    store_ro = str(tmp_path / "store_ro")
+    q, pairs_log = near_dedup_stream(
+        read_clips_stream(spark, src_ro), store_ro,
+        checkpoint_dir=str(tmp_path / "ck_ro"), append_to_store=False,
+        lsh_params={"num_hashes": 16, "bands": 4},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dup = tuple(sorted([datagen.clip_id_of(3), datagen.clip_id_of(7)]))
+    got = {(a, b): n for (_bid, a, b, n) in pairs_log}
+    assert dup in got and got[dup] == 4  # identical text: all 4 bands
+    assert not os.path.exists(store_ro)  # append_to_store=False honored
+
+    # writing monitor: bootstrap batch reports the same pairs AND pins
+    # the configured LSH params in the store it creates
+    src_w = str(tmp_path / "in_w")
+    datagen.clips_df(spark, v1).write.parquet(src_w)
+    store_w = str(tmp_path / "store_w")
+    q, pairs_log2 = near_dedup_stream(
+        read_clips_stream(spark, src_w), store_w,
+        checkpoint_dir=str(tmp_path / "ck_w"),
+        lsh_params={"num_hashes": 16, "bands": 4, "store_buckets": 8},
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = {(a, b): n for (_bid, a, b, n) in pairs_log2}
+    assert dup in got2 and got2[dup] == 4
+    params = incremental.store_params(store_w)
+    assert params["num_hashes"] == 16 and params["bands"] == 4
+    assert params["store_buckets"] == 8

@@ -23,6 +23,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _write_run_response(output: str, consignment_id: str, run_id: str,
+                        status: str, error: str, engine_version: str) -> dict:
+    """The reference's run-response document — {consignmentId,
+    validationStatus, metadataSchemaLibraryVersion, error}
+    (Lambda.scala:96-103; version via DependencyVersionReader.scala:8-13)
+    — emitted as {output}/run-response.json next to the error file."""
+    doc = {
+        "consignmentId": consignment_id,
+        "runId": run_id,
+        "validationStatus": status,
+        "engineVersion": engine_version,
+        "error": error,
+    }
+    with open(os.path.join(output, "run-response.json"), "w") as fh:
+        json.dump(doc, fh, indent=2)
+        fh.write("\n")
+    return doc
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--table", required=True,
@@ -295,6 +314,10 @@ def main(argv=None):
     if gate_result is not None:
         with open(doc_path, "w") as fh:
             fh.write(gate_result.error_file().to_json() + "\n")
+        _write_run_response(
+            args.output, args.consignment_id, args.run_id, "failure",
+            gate_result.file_error.value, engine_version,
+        )
         print(json.dumps({
             "run_id": args.run_id,
             "status": "failure",
@@ -375,6 +398,7 @@ def main(argv=None):
         from tdr_draft_metadata_validator_spark.pipeline.incremental import (
             append_signatures,
             incremental_lsh_candidates,
+            retire_signatures,
             store_params,
         )
 
@@ -389,9 +413,24 @@ def main(argv=None):
             pairs.write.mode("overwrite").parquet(
                 os.path.join(args.output, "near_dup_pairs")
             )
+            if args.delta_mode == "changed":
+                # a CHANGED clip's old buckets describe superseded text —
+                # tombstone them in the same run that appends the new
+                # ones, or later deltas draw phantom candidates (the
+                # candidate join above ran against the OLD text on
+                # purpose: that is the store state this delta dedups
+                # against)
+                retire_signatures(
+                    spark, args.near_dedup_store, clips.select("clip_id")
+                )
+            if removed_keys is not None and not removed_keys.isEmpty():
+                # removed clips stop matching NOW, not at the next
+                # compaction (which applies tombstones physically)
+                retire_signatures(spark, args.near_dedup_store, removed_keys)
             append_signatures(
                 clips, args.near_dedup_store, id_col="clip_id",
-                text_col="transcript", **params,
+                text_col="transcript",
+                **{k: params[k] for k in ("num_hashes", "bands", "n", "lane")},
             )
             print(f"near-dedup: delta candidates written; delta signatures "
                   f"appended to {args.near_dedup_store}", file=sys.stderr)
@@ -417,6 +456,11 @@ def main(argv=None):
                   f"{args.near_dedup_store}", file=sys.stderr)
 
     passed = overall_error == FileError.NONE
+    _write_run_response(
+        args.output, args.consignment_id, args.run_id,
+        "success" if passed else "failure",
+        "" if passed else overall_error.value, engine_version,
+    )
     print(json.dumps({
         "run_id": args.run_id,
         "status": "success" if passed else "failure",
