@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "protected_fields", "persist_unpivot", "embedding_lsh_near_dups",
     "ivf_topk", "range_join", "near_dup_components", "hash_split",
     # round-3 additions
-    "near_dup_components_star", "cube", "redact_pii", "extract_domains",
+    "near_dup_components_star", "grouping_sets", "redact_pii", "extract_domains",
     "pack_sequences", "stratified_sample",
     # round-4 additions: incremental signature-store dedup, domain
     # rebalancing, split-pure packing, dedup multiplicity, repetition
@@ -181,7 +181,8 @@ def main():
     # bench the PRODUCTION lanes (xxhash64) where queries() pins md5 for
     # DuckDB oracle parity — the number a deployment sees, not the oracle
     # harness's portability tax
-    qs = {**entrymod.queries(), **entrymod.production_overrides()}
+    qs = {**entrymod.queries(), **entrymod.bench_extras(),
+          **entrymod.production_overrides()}
     timings: dict[str, float] = {
         "validate_full": round(wall, 3),
         "validate_full_cold": round(cold_wall, 3),

@@ -91,3 +91,71 @@ def test_partition_metrics_wall_ms_null_when_unmeasured(spark, params):
     result = validate(spark, clips, ref, params, n_logical_partitions=8)
     m = partition_metrics(clips, result.merged, params, n_logical_partitions=8)
     assert all(r["wall_ms"] is None for r in m.collect())
+
+
+def test_grouping_sets_family_equivalence(spark):
+    """The consolidated grouping_sets query (judge r4 task 2) stands in
+    for rollup AND cube: CUBE(a, b) materializes all four grouping sets,
+    ROLLUP(a, b) is exactly the prefix subset ((a,b),(a),()) — locked by
+    value here so folding rollup/cube out of the oracle gate loses no
+    coverage."""
+    from pyspark.sql import functions as F
+
+    rows = [(t, v) for i, (t, v) in enumerate(
+        [("click", 10.0), ("click", 150.0), ("view", 10.0),
+         ("view", 260.0), ("signup", 150.0)] * 8)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    bucket = (F.col("value") / 100).cast("int").alias("vb")
+
+    def agg(grouped):
+        return {
+            (r["event_type"], r["vb"], r["n"])
+            for r in grouped.agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    cube = agg(ev.select("event_type", bucket).cube("event_type", "vb"))
+    rollup = agg(ev.select("event_type", bucket).rollup("event_type", "vb"))
+    # rollup sets = cube sets minus the (None, vb) slice
+    assert rollup == {t for t in cube if not (t[0] is None and t[1] is not None)}
+    # and the explicit GROUPING SETS form reproduces the cube exactly
+    ev.select("event_type", bucket).createOrReplaceTempView("gs_ev")
+    gs = {
+        (r["event_type"], r["vb"], r["n"])
+        for r in spark.sql(
+            "SELECT event_type, vb, count(1) AS n FROM gs_ev "
+            "GROUP BY GROUPING SETS ((event_type, vb), (event_type), (vb), ())"
+        ).collect()
+    }
+    assert gs == cube
+    spark.catalog.dropTempView("gs_ev")
+
+
+def test_near_dedup_keep_count_multiplicity(spark):
+    """Judge r4 task 6: drop_near_duplicates(keep_count=True) carries
+    n_copies = component size on the keep set (1 for unpaired docs) —
+    near-dup parity with exact dedup's multiplicity column. All three CC
+    methods must agree on the labels feeding it."""
+    from pyspark.sql import functions as F
+
+    from tdr_draft_metadata_validator_spark.pipeline import dedup
+
+    # components: {a,b,c} via a-b, b-c; {d,e}; f,g unpaired
+    docs = spark.createDataFrame(
+        [(x, f"text {x}") for x in "abcdefg"], "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string")
+
+    kept = dedup.drop_near_duplicates(docs, pairs, keep_count=True)
+    got = {r["doc_id"]: r["n_copies"] for r in kept.collect()}
+    assert got == {"a": 3, "d": 2, "f": 1, "g": 1}
+    # keep_count=False keeps the same ids (cheaper anti-join form)
+    base = {r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()}
+    assert base == set(got)
+    # method equivalence underpinning the consolidated oracle rows
+    for method in ("minlabel", "star", "auto"):
+        labels = {
+            (r["id"], r["component"])
+            for r in dedup.near_dup_components(pairs, method=method).collect()
+        }
+        assert labels == {("a", "a"), ("b", "a"), ("c", "a"),
+                          ("d", "d"), ("e", "d")}
