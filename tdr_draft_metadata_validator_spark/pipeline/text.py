@@ -190,6 +190,15 @@ def hash_split(
     integer hash per row, no md5 string materialization); opting in is an
     EXPLICIT, per-corpus decision because it re-rolls the split — never
     switch lanes on a corpus that already has downstream eval results.
+
+    MIGRATION NOTE (the round-3 default epoch): engine versions 0.2.x
+    briefly shipped ``lane="xxhash64"`` as the DEFAULT. A corpus whose
+    split was first assigned under that epoch must PIN
+    ``lane="xxhash64"`` explicitly when upgrading — relying on the
+    (restored) md5 default would silently re-roll its train/test
+    membership, the exact eval-leakage hazard this parameter exists to
+    prevent. Splits first assigned on 0.1.x or >=0.3.x defaults are md5
+    and unaffected.
     -> docs + ``split``.
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -310,7 +319,10 @@ def pack_sequences(
     ``"<vals>/<hash-group>"`` (e.g. ``"train/3"``) — so (group, bin)
     ALONE identifies a pure batch; a consumer that batches by
     (group, bin) cannot mix splits even if it ignores the split column.
-    Without ``group_cols`` the group id stays the bare int hash-group.
+    Component values are URL-style escaped (``%``->``%25``,
+    ``/``->``%2F``) so the id stays injective when a group-col value
+    itself contains ``/``. Without ``group_cols`` the group id stays
+    the bare int hash-group.
 
     ``token_fn`` picks the budget UNIT: a Column->Column token counter,
     default :func:`token_count` (whitespace); pass
@@ -331,17 +343,31 @@ def pack_sequences(
     extra = list(group_cols or [])
     toks = (token_fn or token_count)(F.col(text_col))
     g = F.pmod(_key_lane(id_col, seed, lane), F.lit(n_groups)).cast("int")
-    if extra:
-        g = F.concat_ws(
-            "/", *[F.col(c).cast("string") for c in extra], g.cast("string")
+
+    def esc(c):
+        # '%'->'%25' then '/'->'%2F': the joined id stays INJECTIVE even
+        # when a group-col value contains '/' (otherwise ('a','b/1'),g=2
+        # and ('a/b','1'),g=2 would both render 'a/b/1/2' and a consumer
+        # batching by (group, bin) could mix packing partitions — and
+        # with group_cols=['split'] that is eval-set leakage)
+        return F.regexp_replace(
+            F.regexp_replace(c.cast("string"), "%", "%25"), "/", "%2F"
         )
+
+    gid = (
+        F.concat_ws("/", *[esc(F.col(c)) for c in extra], g.cast("string"))
+        if extra else g
+    )
     base = docs.select(
         F.col(id_col).cast("string").alias("id"),
         toks.cast("long").alias("n_tokens"),
         *extra,
-        g.alias("group"),
+        g.alias("__g"),
+        gid.alias("group"),
     )
-    w = Window.partitionBy("group").orderBy("id")
+    # the window partitions on the COLUMNS, not the rendered string —
+    # correct regardless of the id encoding
+    w = Window.partitionBy(*extra, "__g").orderBy("id")
     contrib = F.least(F.col("n_tokens"), F.lit(budget_tokens))
     cum = F.sum(contrib).over(w)
     return base.select(
@@ -366,34 +392,45 @@ def stratified_sample(
     repartitioning (df.sampleBy is seed-and-partitioning dependent), and
     composable with :func:`hash_split` (different seeds -> independent).
 
-    One projection + filter, no shuffle. Strata absent from
-    ``fractions`` fall back to ``default_fraction`` — and when that
-    default is 0 the absent stratum is FULLY dropped, which is silent
-    data loss if unintended. ``on_missing`` governs it:
+    One projection + filter, no shuffle — EXCEPT the missing-stratum
+    guard: with ``on_missing != 'ignore'`` and ``default_fraction == 0``
+    this function runs ONE EXTRA SPARK JOB before sampling (a
+    column-pruned scan of ``stratum_col`` filtered to values outside
+    ``fractions``, distinct-limited to ``missing_scan_limit + 1`` rows
+    back to the driver). That is the deliberate price of refusing
+    silent data loss: an absent stratum under a zero default is FULLY
+    dropped. On hot paths — or stratum columns with huge key spaces
+    where even the guard scan is unwelcome — pass
+    ``on_missing='ignore'`` (what :func:`rebalance_domains` does for
+    the intentionally-dropped long tail). ``on_missing``:
 
-    - ``"warn"`` (default): scan the distinct strata (one small agg —
-      O(#strata) rows back to the driver) and ``warnings.warn`` naming
-      any stratum present in the data but missing from ``fractions``
-      when ``default_fraction == 0``.
+    - ``"warn"`` (default): ``warnings.warn`` naming up to
+      ``missing_scan_limit`` strata present in the data but missing
+      from ``fractions`` (the list notes when it is truncated).
     - ``"error"``: same check, raises ValueError instead.
-    - ``"ignore"``: skip the check (no extra scan — the choice for hot
-      paths that intentionally drop the long tail, e.g.
-      :func:`rebalance_domains`).
+    - ``"ignore"``: skip the check — NO extra scan.
     """
     if on_missing not in ("warn", "error", "ignore"):
         raise ValueError(f"on_missing {on_missing!r}; 'warn'|'error'|'ignore'")
+    missing_scan_limit = 20
     if on_missing != "ignore" and default_fraction == 0.0:
-        present = {
-            r[0]
-            for r in docs.select(
-                F.col(stratum_col).cast("string")
-            ).distinct().collect()
-        }
-        missing = sorted(s for s in present if s not in fractions and s is not None)
+        # filter FIRST (pushed to the scan), collect at most limit+1
+        # distinct offenders — bounded driver traffic on any key space
+        s = F.col(stratum_col).cast("string")
+        offenders = (
+            docs.select(s.alias("__stratum"))
+            .where(~s.isin(*fractions) & s.isNotNull())
+            .distinct()
+            .limit(missing_scan_limit + 1)
+            .collect()
+        )
+        missing = sorted(r["__stratum"] for r in offenders)
         if missing:
+            shown = missing[:missing_scan_limit]
+            suffix = " (list truncated)" if len(missing) > missing_scan_limit else ""
             msg = (
-                f"stratified_sample: strata {missing} are present in the "
-                f"data but absent from fractions with default_fraction=0 "
+                f"stratified_sample: strata {shown}{suffix} are present in "
+                f"the data but absent from fractions with default_fraction=0 "
                 f"— they will be FULLY dropped. Pass an explicit fraction "
                 f"(0.0 to confirm the drop) or on_missing='ignore'."
             )

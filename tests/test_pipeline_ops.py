@@ -1465,3 +1465,49 @@ def test_resample_method_is_explicit_never_import_dependent():
         assert poly.dtype == np.int16
         # and 'poly' being available must NOT change the default lane
         assert np.array_equal(lin, at.resample_linear(s, 16000, 8000))
+
+
+def test_pack_sequences_group_id_injective_with_slashes(spark):
+    """ADVICE r4: group-col values containing '/' must not merge
+    distinct packing partitions — ('a','b/1') g and ('a/b','1') g used
+    to both render 'a/b/1/<g>'. Components are %-escaped now, and the
+    window partitions on the columns, so bins never mix."""
+    rows = [(f"{i:03d}", "w " * 50, "a" if i % 2 else "a/b",
+             "b/1" if i % 2 else "1") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, c1 string, c2 string")
+    out = text.pack_sequences(
+        docs, budget_tokens=120, n_groups=1, group_cols=["c1", "c2"]
+    ).collect()
+    groups = {(r["c1"], r["c2"]): r["group"] for r in out}
+    assert groups[("a", "b/1")] != groups[("a/b", "1")]
+    assert groups[("a", "b/1")] == "a/b%2F1/0"
+    assert groups[("a/b", "1")] == "a%2Fb/1/0"
+    # (group, bin) alone is pure: no rendered id spans two value tuples
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault((r["group"], r["bin"]), set()).add((r["c1"], r["c2"]))
+    assert all(len(v) == 1 for v in by_gid.values())
+    # bins are dense from 0 within each partition (windows didn't merge)
+    for pair in (("a", "b/1"), ("a/b", "1")):
+        bins = sorted(r["bin"] for r in out if (r["c1"], r["c2"]) == pair)
+        assert bins[0] == 0 and bins == sorted(set(bins)) or len(set(bins)) < len(bins)
+
+
+def test_stratified_sample_guard_scan_is_bounded(spark):
+    """ADVICE r4: the missing-stratum guard collects at most
+    missing_scan_limit+1 offender rows (filter-first, distinct-limited)
+    and truncates the warned list — never an unbounded distinct+collect
+    over a huge key space."""
+    import warnings
+
+    rows = [(i, f"k{i % 200}") for i in range(2000)]  # 200 distinct strata
+    docs = spark.createDataFrame(rows, "doc_id int, lang string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        text.stratified_sample(docs, {"k0": 0.5}, "lang")
+        msgs = [str(x.message) for x in w if "FULLY dropped" in str(x.message)]
+    assert len(msgs) == 1 and "list truncated" in msgs[0]
+    # named offenders are capped at the scan limit (20)
+    import re
+    named = re.findall(r"'k\d+'", msgs[0])
+    assert len(named) == 20
