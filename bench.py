@@ -199,6 +199,43 @@ def main():
             walls.append(time.monotonic() - t0)
         timings[name] = round(min(walls), 3)
 
+    # incremental signature store: delta cost must stay FLAT as the
+    # store grows (judge r4 task 1) — the bucketed (band, bp) layout
+    # prunes the store scan to the delta's cells and broadcasts the
+    # delta join side, so a 4x corpus should cost ~1x, not 4x. Store
+    # builds are excluded from the timing (amortized maintenance).
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tdr_draft_metadata_validator_spark.pipeline import incremental
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    delta = docs.where(F.col("doc_id") < 500)
+    corpus = docs.where(F.col("doc_id") >= 500)
+    for label, copies in (("1x", 2), ("4x", 8)):
+        root = str(BENCH_DATA / f"sigstore_{label}")
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        for k in range(copies):  # one batch per corpus replica
+            incremental.append_signatures(
+                corpus.select(
+                    (F.col("doc_id") + 100_000 * k).alias("doc_id"), "text"
+                ),
+                root, num_hashes=16, bands=4,
+            )
+        walls = []
+        for _rep in range(2):
+            t0 = time.monotonic()
+            _ = incremental.incremental_lsh_candidates(
+                spark, delta, root).count()
+            walls.append(time.monotonic() - t0)
+        timings[f"incremental_delta_store_{label}"] = round(min(walls), 3)
+    flatness = round(
+        timings["incremental_delta_store_4x"]
+        / max(timings["incremental_delta_store_1x"], 1e-9), 3,
+    )
+
     out = {
         "metric": "clips_validated_per_sec",
         "value": round(clips_per_sec, 1),
@@ -207,6 +244,10 @@ def main():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_clips": n_rows,
         "cpus": CPUS,
+        # delta cost at 4x store size over delta cost at 1x: ~1.0 means
+        # the bucketed store prunes instead of scanning (4.0 would be
+        # the flat-log full-scan anti-pattern this layout replaces)
+        "incremental_store_flatness": flatness,
         # shared-host environment evidence (see machine_calibration)
         "calib": machine_calibration(),
     }

@@ -183,7 +183,9 @@ def append_signatures(
 ) -> int:
     """Compute ``docs``' band buckets and append them as the next store
     batch (creates the store on first call, pinning LSH parameters AND
-    the (band, bp) partition grid). Returns the batch id. Append-only:
+    the (band, bp) partition grid). Returns the batch id — 0 when the
+    delta is empty (nothing committed; zero-row batches are never
+    written). Append-only:
     one partitioned parquet write of the NEW buckets; existing batches
     are never rewritten (the Iceberg-append analog — at 10^12 rows this
     is the property that matters). ``store_buckets`` is only consulted
@@ -200,6 +202,12 @@ def append_signatures(
             docs, params["num_hashes"], params["bands"], params["n"],
             id_col, text_col, lane=params["lane"],
         )
+        if buckets.isEmpty():
+            # an empty delta is normal in steady state (nothing new since
+            # the last run) — writing a zero-row batch would poison every
+            # later read (parquet schema inference fails on empty dirs)
+            _write_json_atomic(os.path.join(root, PARAMS), params)
+            return 0
         path = os.path.join(root, f"batch-{bid}")
         sb = params.get("store_buckets")
         if sb:
