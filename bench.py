@@ -96,7 +96,9 @@ def ensure_bench_tables(spark, n: int):
 
     from tdr_draft_metadata_validator_spark.operators.audio import ref_fingerprints
 
-    clips_path = BENCH_DATA / f"clips_{n}.parquet"
+    # v2: flac-labeled clips carry REAL FLAC payloads (r5) — v1 caches
+    # (flac-labeled RIFF) would fail the real decoder's gate
+    clips_path = BENCH_DATA / f"clips_{n}_v2.parquet"
     ref_path = BENCH_DATA / f"ref_{n}.parquet"
     fp_path = BENCH_DATA / f"ref_fp_{n}.parquet"
     if not clips_path.exists():

@@ -92,7 +92,8 @@ def _crc16_scalar(data: bytes) -> int:
 # tables (high byte -> contribution, low byte -> contribution) and
 # composed by doubling: S_2m = S_m . S_m.
 
-_CHUNK = 32  # bytes folded per chunk in the data-parallel pass
+_CHUNK = 16  # bytes folded per chunk: the byte loop is numpy-call-overhead
+# bound, so fewer iterations beat wider rows (profiled 16 < 32 here)
 _shift_cache: list[tuple[np.ndarray, np.ndarray]] = []  # [l] = shift by _CHUNK*2^l
 
 
@@ -106,7 +107,7 @@ def _shift_tables(level: int) -> tuple[np.ndarray, np.ndarray]:
         b = np.arange(256, dtype=np.uint16)
         # shift by ONE zero byte: s' = table[s>>8] ^ (s<<8)
         t = (_CRC16_TABLE[b].copy(), ((b << 8) & 0xFFFF).astype(np.uint16))
-        for _ in range(5):  # double 1 -> 32 == _CHUNK
+        for _ in range(_CHUNK.bit_length() - 1):  # double 1 -> _CHUNK
             t = (_apply_shift(t, t[0]), _apply_shift(t, t[1]))
         _shift_cache.append(t)
     while len(_shift_cache) <= level:
@@ -343,7 +344,7 @@ def _encode_fixed_subframe(block: np.ndarray, order: int) -> bytes:
 def encode_flac(
     samples: np.ndarray,
     sr_hz: int,
-    blocksize: int = 4096,
+    blocksize: int = 4080,
     subframe: str = "verbatim",
     fixed_order: int = 2,
 ) -> bytes:
@@ -354,6 +355,12 @@ def encode_flac(
     ``subframe="fixed"`` emits FIXED-predictor subframes with Rice-coded
     residuals (real compression — tests use it to exercise the residual
     decode path). Both are lossless: decode -> bit-identical PCM.
+
+    Default blocksize 4080 (not the conventional 4096): a verbatim
+    frame is 2*blocksize + ~15 header/CRC bytes, and :func:`crc16_many`
+    front-pads each frame to a power-of-two chunk count — 4096-sample
+    frames land just OVER the 8192-byte boundary and pad to 16 KB
+    (doubling CRC work); 4080 lands just under it.
     """
     if not 16 <= blocksize <= 65536:
         raise ValueError(f"blocksize {blocksize} out of range")
