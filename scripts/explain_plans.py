@@ -102,7 +102,8 @@ def main():
 
     # incremental near-dedup: the delta side must BROADCAST onto the
     # store scan (the store is the 10^12-row side; the delta is the
-    # daily sliver) — check the BuildLeft broadcast on (band, bh)
+    # daily sliver) and the store scan must be partition-pruned to the
+    # delta's (band, bp) cells — check BuildLeft + PartitionFilters
     import shutil
     import tempfile
 
@@ -120,7 +121,7 @@ def main():
     incremental.append_signatures(
         docs.where(F.col("doc_id") >= 30), store_root, num_hashes=16, bands=4
     )
-    sections["Incremental near-dedup (delta broadcast onto the store scan)"] = plan_of(
+    sections["Incremental near-dedup (cell-pruned store scan, delta broadcast)"] = plan_of(
         incremental.incremental_lsh_candidates(
             spark, docs.where(F.col("doc_id") < 30), store_root
         )
@@ -145,8 +146,12 @@ def main():
     assert "* Project" in rule_plan or "*(1)" in rule_plan, "rule pass not codegen'd"
     dup_plan = sections["Salted duplicate agg (A1 two-phase)"]
     assert dup_plan.count("HashAggregate") >= 4, "expected two-phase (partial+final) x2"
-    inc_plan = sections["Incremental near-dedup (delta broadcast onto the store scan)"]
+    inc_plan = sections["Incremental near-dedup (cell-pruned store scan, delta broadcast)"]
     assert "BroadcastHashJoin" in inc_plan, "delta side must broadcast onto the store"
+    # r5 bucketed layout: the store scan must carry PARTITION filters on
+    # (band, bp) — the delta prunes cells instead of scanning the log
+    assert "PartitionFilters: [(" in inc_plan or "PartitionFilters: [((" in inc_plan, \
+        "store scan must be partition-pruned to the delta's (band, bp) cells"
     spark.stop()
 
 
