@@ -202,6 +202,10 @@ def append_signatures(
             docs, params["num_hashes"], params["bands"], params["n"],
             id_col, text_col, lane=params["lane"],
         )
+        # pin the buckets (O(delta x bands) rows): the emptiness probe
+        # and the write below then share ONE computation of the
+        # text-reading minhash pass instead of running it twice
+        buckets = buckets.localCheckpoint(eager=True)
         if buckets.isEmpty():
             # an empty delta is normal in steady state (nothing new since
             # the last run) — writing a zero-row batch would poison every
