@@ -1725,7 +1725,8 @@ def _oracle_sqls() -> dict[str, str]:
               FROM s JOIN documents USING (doc_id)
             )
             SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, split,
-                   replace(replace(split, '%', '%25'), '/', '%2F')
+                   coalesce(replace(replace(split, '%', '%25'), '/', '%2F'),
+                            '%00')
                      || '/' || CAST(grp AS VARCHAR) AS "group",
                    CAST(floor((sum(least(n_tokens, 200)) OVER (PARTITION BY split, grp ORDER BY id)
                                - least(n_tokens, 200)) / 200.0) AS BIGINT) AS bin

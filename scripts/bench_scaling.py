@@ -170,7 +170,7 @@ def _validate_prefix(spark, clips_path, n_prefix, run_id):
     return time.monotonic() - t0
 
 
-def measure_weak(clips_path, n_small=2, rows_per_core=30_000, runs=3):
+def measure_weak(clips_path, n_small=2, rows_per_core=None, runs=3):
     """Weak scaling (fixed work PER CORE): local[N] over N*rows_per_core
     clips vs local[4N] over 4N*rows_per_core clips. Perfect scale-out
     keeps the wall FLAT (ratio 1.0); this formulation is robust to the
@@ -179,6 +179,10 @@ def measure_weak(clips_path, n_small=2, rows_per_core=30_000, runs=3):
     short burst."""
     from tdr_draft_metadata_validator_spark.session import get_spark
 
+    if rows_per_core is None:
+        # the big side uses the whole table when it is smaller than the
+        # default 30k/core — never demand rows the table doesn't have
+        rows_per_core = min(30_000, N_CLIPS // (n_small * 4))
     walls = {}
     for cores in (n_small, n_small * 4):
         n_prefix = cores * rows_per_core

@@ -556,15 +556,20 @@ def _decode_frame(
         frame_sr = sr
     elif sr_code in _SR_FIXED:
         frame_sr = _SR_FIXED[sr_code]
-    elif sr_code == 12:
-        frame_sr = payload[pos] * 1000
-        pos += 1
-    elif sr_code == 13:
-        frame_sr = struct.unpack_from(">H", payload, pos)[0]
-        pos += 2
-    elif sr_code == 14:
-        frame_sr = struct.unpack_from(">H", payload, pos)[0] * 10
-        pos += 2
+    elif sr_code in (12, 13, 14):
+        width = 1 if sr_code == 12 else 2
+        if pos + width > len(payload):
+            # bounds-check BEFORE indexing: IndexError/struct.error would
+            # escape the decode gate's ValueError contract and crash the
+            # job instead of producing a violation row
+            raise ValueError("truncated sample-rate field")
+        if sr_code == 12:
+            frame_sr = payload[pos] * 1000
+        else:
+            frame_sr = struct.unpack_from(">H", payload, pos)[0]
+            if sr_code == 14:
+                frame_sr *= 10
+        pos += width
     else:
         raise ValueError("invalid sample rate code 15")
     if frame_sr != sr:
@@ -622,7 +627,12 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     frame_spans: list[tuple[int, int]] = []  # (start, end_excl_crc)
     got = 0
     while off < len(payload) and (total == 0 or got < total):
-        samples, end, start = _decode_frame(payload, off, sr, bps)
+        try:
+            samples, end, start = _decode_frame(payload, off, sr, bps)
+        except (IndexError, struct.error, OverflowError) as exc:
+            # malformed bytes must surface as ValueError — the decode
+            # gate's contract (violation row, never a job crash)
+            raise ValueError(f"malformed FLAC frame: {exc}") from exc
         frame_spans.append((start, end - 2))
         chunks.append(samples)
         got += samples.size

@@ -209,8 +209,11 @@ def append_signatures(
         if buckets.isEmpty():
             # an empty delta is normal in steady state (nothing new since
             # the last run) — writing a zero-row batch would poison every
-            # later read (parquet schema inference fails on empty dirs)
-            _write_json_atomic(os.path.join(root, PARAMS), params)
+            # later read (parquet schema inference fails on empty dirs).
+            # Nothing is published either: params-without-batches would
+            # make store_params() non-None while read_signatures refuses,
+            # wedging every later run — an empty FIRST delta must leave
+            # no store at all (the next non-empty delta bootstraps).
             return 0
         path = os.path.join(root, f"batch-{bid}")
         sb = params.get("store_buckets")
@@ -239,29 +242,45 @@ def retire_signatures(spark: SparkSession, root: str, ids: DataFrame) -> int:
     document retires its old buckets in the same run that appends its
     new ones (validate.py --delta-mode changed), and removed documents
     retire theirs without waiting for a compaction. Returns the
-    tombstone id. O(ids) write; nothing is rewritten."""
+    tombstone id. O(ids) write; nothing is rewritten.
+
+    A tombstone is SCOPED to the batches that existed when it was
+    written (``max_batch_id``): signatures the same ids append LATER
+    are alive — retire-then-append supersession replaces, it does not
+    permanently ban the id."""
     if store_params(root) is None:
         raise FileNotFoundError(f"signature store {root!r} has no parameters")
     with _writer_lock(root):
         man = _manifest(root)
         tid = (man["tombstones"][-1]["tombstone_id"] + 1) if man["tombstones"] else 1
+        max_bid = man["batches"][-1]["batch_id"] if man["batches"] else 0
         path = f"tombstone-{tid}"
         ids.select(
             F.col(ids.columns[0]).cast("string").alias("id")
         ).distinct().coalesce(1).write.mode("errorifexists").parquet(
             os.path.join(root, path)
         )
-        man["tombstones"].append({"tombstone_id": tid, "path": path})
+        man["tombstones"].append(
+            {"tombstone_id": tid, "path": path, "max_batch_id": max_bid}
+        )
         _write_json_atomic(os.path.join(root, BATCHES), man)
         return tid
 
 
 def _read_tombstones(spark: SparkSession, root: str) -> DataFrame | None:
+    """-> (id, __max_bid): retired ids with the LAST batch id each
+    tombstone covers (an id retired twice keeps the widest scope)."""
     man = _manifest(root)
     if not man["tombstones"]:
         return None
-    paths = [os.path.join(root, t["path"]) for t in man["tombstones"]]
-    return spark.read.parquet(*paths).select("id").distinct()
+    parts = [
+        spark.read.parquet(os.path.join(root, t["path"])).select(
+            "id", F.lit(t.get("max_batch_id", 2**62)).alias("__max_bid")
+        )
+        for t in man["tombstones"]
+    ]
+    df = reduce(lambda a, b: a.unionByName(b), parts)
+    return df.groupBy("id").agg(F.max("__max_bid").alias("__max_bid"))
 
 
 def read_signatures(
@@ -282,15 +301,20 @@ def read_signatures(
         raise FileNotFoundError(f"no signature batches committed under {root!r}")
     params = store_params(root) or {}
     sb = params.get("store_buckets")
-    paths = [os.path.join(root, b["path"]) for b in man["batches"]]
     # one read per batch root: each batch carries its own band=/bp=
     # partition directories, so multi-path discovery would need a common
     # basePath the layout doesn't have; the per-batch filters still
-    # prune partitions before the union
-    parts = [spark.read.parquet(p) for p in paths]
+    # prune partitions before the union. __bid tags provenance so
+    # tombstones bind only to the batches they were scoped to.
+    parts = [
+        spark.read.parquet(os.path.join(root, b["path"])).withColumn(
+            "__bid", F.lit(b["batch_id"])
+        )
+        for b in man["batches"]
+    ]
     df = reduce(lambda a, b: a.unionByName(b), parts)
     cols = [*_BUCKET_COLS] + (["bp"] if sb else [])
-    df = df.select(*cols)
+    df = df.select(*cols, "__bid")
     if prune is not None and sb:
         cond = None
         for band, cells in sorted(prune.items()):
@@ -300,8 +324,15 @@ def read_signatures(
     if apply_tombstones:
         gone = _read_tombstones(spark, root)
         if gone is not None:
-            df = df.join(F.broadcast(gone), on="id", how="left_anti")
-    return df
+            # scoped anti-join: a tombstone kills an id's signatures only
+            # in batches up to its max_batch_id — buckets the same id
+            # appended AFTER the retirement stay alive (supersession)
+            df = df.join(
+                F.broadcast(gone),
+                (df["id"] == gone["id"]) & (df["__bid"] <= gone["__max_bid"]),
+                "left_anti",
+            )
+    return df.drop("__bid")
 
 
 def compact_signature_store(

@@ -349,9 +349,15 @@ def pack_sequences(
         # when a group-col value contains '/' (otherwise ('a','b/1'),g=2
         # and ('a/b','1'),g=2 would both render 'a/b/1/2' and a consumer
         # batching by (group, bin) could mix packing partitions — and
-        # with group_cols=['split'] that is eval-set leakage)
-        return F.regexp_replace(
-            F.regexp_replace(c.cast("string"), "%", "%25"), "/", "%2F"
+        # with group_cols=['split'] that is eval-set leakage). NULL
+        # renders as the sentinel '%00' (concat_ws would otherwise SKIP
+        # it, colliding ('a', NULL) with (NULL, 'a')); a literal '%00'
+        # value escapes to '%2500', so the sentinel cannot collide.
+        return F.coalesce(
+            F.regexp_replace(
+                F.regexp_replace(c.cast("string"), "%", "%25"), "/", "%2F"
+            ),
+            F.lit("%00"),
         )
 
     gid = (

@@ -223,3 +223,33 @@ def test_audio_invariants_on_real_flac(spark):
     rows = audio_invariants(clips, ref).collect()
     got = {(r["asset_id"], r["error_key"]) for r in rows}
     assert got == {("corrupt", "undecodable")}
+
+
+def test_truncated_samplerate_field_raises_valueerror():
+    """Code-review r5: sr codes 12/13/14 read extra header bytes; a
+    payload truncated inside that field must raise ValueError (the gate
+    contract), never IndexError/struct.error."""
+    payload = bytearray(encode_flac(_sine(100), 16000, blocksize=128))
+    off = 42
+    assert payload[off + 2] == 0x70  # blocksize 0b0111, sr code 0b0000
+    payload[off + 2] = 0x7D          # sr code 13: 16-bit sr follows
+    # cut right after the coded number so the sr field is truncated;
+    # any parse outcome must be ValueError, not a non-ValueError crash
+    for cut in (off + 5, off + 6):
+        with pytest.raises(ValueError):
+            decode_flac(bytes(payload[:cut]))
+
+
+def test_decode_fuzz_never_raises_non_valueerror():
+    """Gate contract fuzz: random corruptions of a valid stream either
+    decode or raise ValueError — nothing else escapes."""
+    rng = np.random.RandomState(11)
+    base = bytearray(encode_flac(_sine(600), 16000, blocksize=256))
+    for _ in range(300):
+        p = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            p[rng.randint(0, len(p))] = rng.randint(0, 256)
+        try:
+            decode_flac(bytes(p[:rng.randint(4, len(p) + 1)]))
+        except ValueError:
+            pass

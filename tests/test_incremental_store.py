@@ -102,6 +102,19 @@ def test_retire_signatures_supersedes_changed_docs(spark, tmp_path):
     assert ("0", "18") in after              # untouched dup members remain
     assert after == {p for p in before if "12" not in p}
 
+    # CRITICAL (code-review r5): the tombstone is scoped to the batches
+    # that existed at retire time — doc 12's NEW buckets (appended after
+    # the retirement) must be ALIVE, or supersession would be a
+    # permanent ban. A later delta duplicating the NEW text must pair.
+    probe = spark.createDataFrame(
+        [(999, "completely new text after the edit with no shared shingles "
+               "at all anywhere in this replacement body")],
+        "doc_id int, text string")
+    probe_pairs = {(r["id_a"], r["id_b"])
+                   for r in incremental.incremental_lsh_candidates(
+                       spark, probe, root).collect()}
+    assert ("12", "999") in probe_pairs
+
     # compaction applies tombstones physically and clears the list
     bid = incremental.compact_signature_store(spark, root)
     man = incremental._manifest(root)
@@ -174,3 +187,22 @@ def test_legacy_flat_store_reads_and_upgrades(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert any("PartitionFilters: [" in ln and "band" in ln.split(
         "PartitionFilters: [", 1)[1] for ln in plan.splitlines())
+
+
+def test_empty_first_delta_leaves_no_store(spark, tmp_path):
+    """Code-review r5: an empty FIRST delta must not publish params
+    without batches (store_params non-None + read refusing would wedge
+    every later run) — it leaves nothing, and the next non-empty delta
+    bootstraps normally."""
+    root = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert incremental.append_signatures(empty, root, num_hashes=16, bands=4) == 0
+    assert incremental.store_params(root) is None
+
+    docs = _docs(spark, 30)
+    assert incremental.append_signatures(docs, root, num_hashes=16, bands=4) == 1
+    # empty LATER delta: no-op, store intact
+    assert incremental.append_signatures(empty, root, num_hashes=16, bands=4) == 0
+    got = incremental.incremental_lsh_candidates(
+        spark, docs.where(F.col("doc_id") < 5), root)
+    assert got.count() > 0
