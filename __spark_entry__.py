@@ -944,10 +944,25 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Lanes folded OUT of the 50-entry oracle gate (queries() docstring)
     but still benchmarked every round — above all cc_deep_minlabel, the
     O(diameter) burn that motivates the star/auto dispatch crossover."""
+    def b_pq_topk(spark, sf):
+        # PQ ADC + exact re-rank (r5): train on the id-ordered sample,
+        # encode the corpus to m=8 uint8 codes, search 3 queries.
+        # Value-locked in test_pipeline_ops (numpy-exact encode,
+        # recall-vs-brute-force); no SQL oracle — k-means codebooks are
+        # not expressible in DuckDB.
+        from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+        emb = _t(spark, sf, "embeddings")
+        books = sim.pq_train(emb, m=8, k=16, sample_n=1024, iters=6)
+        codes = sim.pq_encode(emb, books)
+        q = emb.where(F.col("vec_id") < 3)
+        return sim.pq_topk(codes, q, books, k=5, rerank=40, emb=emb)
+
     return {
         "near_dup_components_star": q_near_dup_components_star,
         "cc_deep_minlabel": q_cc_deep_minlabel,
         "dedup_keep_first": q_dedup_keep_first,
+        "pq_topk": b_pq_topk,
     }
 
 

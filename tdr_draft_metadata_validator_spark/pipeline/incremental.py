@@ -140,6 +140,36 @@ def store_params(root: str) -> dict | None:
     return _read_json(os.path.join(root, PARAMS), None)
 
 
+def store_stats(spark: SparkSession, root: str) -> dict:
+    """Operational snapshot of a signature store — what an operator
+    checks before/after maintenance: pinned params, batch/tombstone
+    counts, bucket-row and distinct-doc counts, live fraction, and a
+    compaction hint (read-side union width grows with every append;
+    tombstone anti-join side grows with every retirement). One
+    metadata-cheap Spark job over (id) columns only."""
+    params = store_params(root)
+    if params is None:
+        raise FileNotFoundError(f"signature store {root!r} has no parameters")
+    man = _manifest(root)
+    raw = read_signatures(spark, root, apply_tombstones=False)
+    live = read_signatures(spark, root)
+    n_raw, n_live = raw.count(), live.count()
+    n_docs = live.select("id").distinct().count()
+    return {
+        "params": params,
+        "n_batches": len(man["batches"]),
+        "n_tombstones": len(man["tombstones"]),
+        "bucket_rows": n_raw,
+        "live_bucket_rows": n_live,
+        "live_fraction": round(n_live / n_raw, 4) if n_raw else 1.0,
+        "n_documents": n_docs,
+        "compaction_recommended": (
+            len(man["batches"]) > 16 or len(man["tombstones"]) > 4
+            or (n_raw > 0 and n_live / n_raw < 0.8)
+        ),
+    }
+
+
 def _check_params(root: str, params: dict) -> dict:
     existing = store_params(root)
     if existing is not None:

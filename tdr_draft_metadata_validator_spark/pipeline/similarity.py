@@ -323,3 +323,238 @@ def lsh_near_dups(
     return cand.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid 2011 — "Product quantization
+# for nearest neighbor search", public literature). THE memory lever at
+# 10^12 vectors: a 64-dim float32 embedding is 256 B; its PQ code is m
+# bytes (m=8 -> 32x compression), so the searchable index fits in RAM
+# where raw vectors cannot. Division of labor mirrors production FAISS
+# deployments: codebooks TRAIN on a bounded sample (driver numpy — the
+# codebook is KBs and training is an offline maintenance job, exactly
+# like ivf_topk's offline-centroids note above); ENCODE and SEARCH are
+# the distributed passes (Arrow mapInPandas, vectorized numpy per batch,
+# codebooks shipped in the task closure — KBs, never a shuffle).
+#
+# Cosine note: vectors are L2-normalized by default (normalize=True
+# everywhere), making squared-L2 ordering identical to cosine ordering,
+# so pq_topk's results are comparable to brute_force_topk's.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Train PQ codebooks -> float32 array (m, k, dim/m).
+
+    Deterministic end to end: the training sample is the FIRST
+    ``sample_n`` vectors by id (stable under any partitioning — a
+    random sample would re-roll codebooks and silently invalidate every
+    stored code), k-means++-style seeding uses a fixed RandomState, and
+    Lloyd runs a fixed ``iters`` sweeps (empty clusters re-seed to the
+    farthest point, deterministically). The collect is bounded by
+    ``sample_n`` — this is the one driver-side step, by design."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(sample_n).collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float32)
+    if x.ndim != 2 or x.shape[0] < k:
+        raise ValueError(f"need >= k={k} training vectors, got {x.shape}")
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if normalize:
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(n == 0, 1.0, n)
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub), dtype=np.float32)
+    for sub in range(m):
+        xs = x[:, sub * dsub:(sub + 1) * dsub].astype(np.float64)
+        # k-means++ seeding (fixed rng), then fixed Lloyd sweeps
+        cent = [xs[rng.randint(len(xs))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                ((xs[:, None, :] - np.array(cent)[None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cent.append(xs[rng.choice(len(xs), p=p)])
+        cent = np.array(cent)
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+                else:  # empty cluster -> farthest point (deterministic)
+                    cent[c] = xs[d2.min(axis=1).argmax()]
+        books[sub] = cent.astype(np.float32)
+    return books
+
+
+def _pq_codes_np(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) float32 -> (n, m) uint8 codes (vectorized per subspace)."""
+    m, k, dsub = books.shape
+    out = np.empty((x.shape[0], m), dtype=np.uint8)
+    for sub in range(m):
+        xs = x[:, sub * dsub:(sub + 1) * dsub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = xs @ books[sub].T * (-2.0) + (books[sub] ** 2).sum(axis=1)[None, :]
+        out[:, sub] = d.argmin(axis=1)
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """-> (id, codes array<int>): the distributed encode pass — one
+    Arrow mapInPandas projection, codebooks in the task closure (KBs).
+    Codes are m small ints per vector: the 10^12-row index payload."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    dim = books.shape[0] * books.shape[2]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float32) for v in pdf["v"]])
+            if x.shape[1] != dim:
+                raise ValueError(f"vector dim {x.shape[1]} != codebook dim {dim}")
+            if normalize:
+                n = np.linalg.norm(x, axis=1, keepdims=True)
+                x = x / np.where(n == 0, 1.0, n)
+            codes = _pq_codes_np(x, books)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "codes": [row.tolist() for row in codes.astype(np.int32)],
+            })
+
+    src = emb.select(
+        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v")
+    )
+    return src.mapInPandas(run, "id string, codes array<int>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank: int | None = None,
+    emb: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """ADC search over PQ codes -> (query_id, neighbor_id, rank [,cosine]).
+
+    Per query, a (m, k) lookup table of subspace distances is built ONCE
+    (asymmetric distance computation — the query stays un-quantized);
+    scoring a code is m table gathers + a sum, vectorized across the
+    whole Arrow batch. LUTs for all queries ride the task closure
+    (nq x m x k floats — queries are few by contract, same as
+    brute_force_topk's broadcast). One shuffle: the per-query top-k
+    window over (query, candidate, adist).
+
+    ``rerank=R`` (needs ``emb``) re-scores the top R approximate
+    candidates per query with EXACT cosine — the standard ADC+re-rank
+    deployment: PQ recall comes from the candidate pool, exactness from
+    the tiny re-rank join."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    m, kk, dsub = books.shape
+    q_rows = queries.select(
+        F.col(q_id_col).cast("string").alias("qid"), F.col(q_vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("no query vectors")
+    luts = {}
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float32)
+        if normalize:
+            n = float(np.linalg.norm(qv))
+            qv = qv / (n if n else 1.0)
+        lut = np.empty((m, kk), dtype=np.float32)
+        for sub in range(m):
+            diff = books[sub] - qv[sub * dsub:(sub + 1) * dsub][None, :]
+            lut[sub] = (diff ** 2).sum(axis=1)
+        luts[r["qid"]] = lut
+    sub_idx = np.arange(m)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for qid, lut in luts.items():
+                adist = lut[sub_idx[None, :], c].sum(axis=1)
+                frames.append(pd.DataFrame({
+                    "query_id": qid, "neighbor_id": ids,
+                    "adist": adist.astype(np.float64),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(
+        run, "query_id string, neighbor_id string, adist double"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    pool = rerank if rerank else k
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= pool)
+    )
+    if not rerank:
+        return top.select("query_id", "neighbor_id",
+                          F.round("adist", 6).alias("adist"), "rank")
+    if emb is None:
+        raise ValueError("rerank needs the raw embedding table (emb=)")
+    cand = top.select("query_id", "neighbor_id")
+    vecs = emb.select(
+        F.col(id_col).cast("string").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn"),
+    )
+    qvecs = queries.select(
+        F.col(q_id_col).cast("string").alias("query_id"),
+        F.col(q_vec_col).alias("qv"), _norm(F.col(q_vec_col)).alias("qn"),
+    )
+    exact = (
+        cand.join(vecs, on="neighbor_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

@@ -206,3 +206,33 @@ def test_empty_first_delta_leaves_no_store(spark, tmp_path):
     got = incremental.incremental_lsh_candidates(
         spark, docs.where(F.col("doc_id") < 5), root)
     assert got.count() > 0
+
+
+def test_store_stats_observability(spark, tmp_path):
+    """store_stats: the operator-facing snapshot — counts, live
+    fraction after retirement, and the compaction hint."""
+    docs = _docs(spark, 60)
+    root = str(tmp_path / "store")
+    incremental.append_signatures(
+        docs.where(F.col("doc_id") < 30), root, num_hashes=16, bands=4)
+    incremental.append_signatures(
+        docs.where(F.col("doc_id") >= 30), root, num_hashes=16, bands=4)
+    s = incremental.store_stats(spark, root)
+    assert s["n_batches"] == 2 and s["n_tombstones"] == 0
+    assert s["n_documents"] == 60
+    assert s["bucket_rows"] == s["live_bucket_rows"] == 60 * 4
+    assert s["live_fraction"] == 1.0 and not s["compaction_recommended"]
+
+    # retire a third of the corpus -> live fraction drops, hint fires
+    incremental.retire_signatures(
+        spark, root, docs.where(F.col("doc_id") < 20).select("doc_id"))
+    s2 = incremental.store_stats(spark, root)
+    assert s2["n_tombstones"] == 1
+    assert s2["n_documents"] == 40
+    assert s2["live_bucket_rows"] == 40 * 4 and s2["bucket_rows"] == 240
+    assert s2["compaction_recommended"]  # live fraction 2/3 < 0.8
+
+    incremental.compact_signature_store(spark, root)
+    s3 = incremental.store_stats(spark, root)
+    assert s3["n_batches"] == 1 and s3["live_fraction"] == 1.0
+    assert s3["n_documents"] == 40 and not s3["compaction_recommended"]

@@ -81,6 +81,10 @@ def main(argv=None):
                         "corpus signatures never recomputed) then appends "
                         "the delta's signatures. Otherwise: bootstraps the "
                         "store from this run's table (transcript column).")
+    p.add_argument("--dedup-store-stats", action="store_true",
+                   help="after the run, print the --near-dedup-store's "
+                        "operational stats (batches, tombstones, live "
+                        "fraction, compaction hint) as JSON to stderr")
     p.add_argument("--compact-dedup-store", action="store_true",
                    help="after an incremental run, compact the "
                         "--near-dedup-store batch log into one batch and "
@@ -454,6 +458,14 @@ def main(argv=None):
             )
             print(f"near-dedup: signatures appended to "
                   f"{args.near_dedup_store}", file=sys.stderr)
+        if args.dedup_store_stats:
+            from tdr_draft_metadata_validator_spark.pipeline.incremental import (
+                store_stats,
+            )
+
+            print("near-dedup store stats: "
+                  + json.dumps(store_stats(spark, args.near_dedup_store)),
+                  file=sys.stderr)
 
     passed = overall_error == FileError.NONE
     _write_run_response(
