@@ -958,11 +958,29 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.where(F.col("vec_id") < 3)
         return sim.pq_topk(codes, q, books, k=5, rerank=40, emb=emb)
 
+    def b_ivfpq_topk(spark, sf):
+        # IVFADC (r5): coarse-quantizer probe prunes the scan (the
+        # centroid IN-filter sits under the Arrow stage — file-prune on
+        # a centroid-partitioned table), residual PQ codes compress the
+        # index 32x, exact re-rank restores exactness. Value-locked in
+        # test_pipeline_ops (degenerates to brute force when all cells
+        # are probed; recall >= 0.8 at n_probe=4/16).
+        from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+        emb = _t(spark, sf, "embeddings")
+        books = sim.ivfpq_train(emb, dim=64, n_centroids=16, m=8, k=16,
+                                sample_n=1024, iters=6)
+        codes = sim.ivfpq_encode(emb, books, n_centroids=16)
+        q = emb.where(F.col("vec_id") < 3)
+        return sim.ivfpq_topk(codes, q, books, n_centroids=16, k=5,
+                              n_probe=4, rerank=40, emb=emb)
+
     return {
         "near_dup_components_star": q_near_dup_components_star,
         "cc_deep_minlabel": q_cc_deep_minlabel,
         "dedup_keep_first": q_dedup_keep_first,
         "pq_topk": b_pq_topk,
+        "ivfpq_topk": b_ivfpq_topk,
     }
 
 

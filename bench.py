@@ -39,8 +39,9 @@ BENCH_QUERIES = [
     "minhash_lsh_candidates", "simhash", "ann_topk",
     "protected_fields", "persist_unpivot", "embedding_lsh_near_dups",
     "ivf_topk", "range_join", "near_dup_components", "hash_split",
-    # round-5: PQ ADC search (32x-compressed codes + exact re-rank)
-    "pq_topk",
+    # round-5: PQ ADC search (32x-compressed codes + exact re-rank) and
+    # the composed IVFADC layout (probe-pruned scan + residual codes)
+    "pq_topk", "ivfpq_topk",
     # round-3 additions
     "near_dup_components_star", "grouping_sets", "redact_pii", "extract_domains",
     "pack_sequences", "stratified_sample",

@@ -376,6 +376,15 @@ def pq_train(
     if normalize:
         n = np.linalg.norm(x, axis=1, keepdims=True)
         x = x / np.where(n == 0, 1.0, n)
+    return _train_books(x, m, k, iters, seed)
+
+
+def _train_books(x: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.ndarray:
+    """Per-subspace k-means over (n, dim) -> (m, k, dim/m) float32.
+    Deterministic: fixed RandomState, fixed Lloyd sweep count, empty
+    clusters re-seed to the farthest point. Shared by pq_train (raw
+    vectors) and ivfpq_train (centroid residuals)."""
+    dim = x.shape[1]
     dsub = dim // m
     rng = np.random.RandomState(seed)
     books = np.empty((m, k, dsub), dtype=np.float32)
@@ -533,7 +542,27 @@ def pq_topk(
                           F.round("adist", 6).alias("adist"), "rank")
     if emb is None:
         raise ValueError("rerank needs the raw embedding table (emb=)")
-    cand = top.select("query_id", "neighbor_id")
+    return _exact_rerank(
+        top.select("query_id", "neighbor_id"), queries, emb, k,
+        id_col, vec_col, q_id_col, q_vec_col,
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+) -> DataFrame:
+    """Re-score (query_id, neighbor_id) candidates with EXACT cosine and
+    keep the per-query top-k — the tiny join that restores exactness on
+    top of an approximate candidate pool (shared by pq_topk and
+    ivfpq_topk). The candidate side is O(nq x pool); the emb join is the
+    only touch of raw vectors."""
     vecs = emb.select(
         F.col(id_col).cast("string").alias("neighbor_id"),
         F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn"),
@@ -557,4 +586,220 @@ def pq_topk(
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ (IVFADC — Jegou 2011 §V): the standard trillion-vector index
+# layout. The coarse quantizer (ivf_centroids) prunes the SCAN to
+# n_probe/n_centroids of the corpus; residual PQ codes compress the
+# index payload ~32x so it fits in RAM; ADC scores only the probed
+# cells; exact re-rank restores exactness on the tiny candidate pool.
+# Codes are stored per (centroid) cell — partition the codes table by
+# `centroid` and the probe filter prunes FILES, not just rows.
+# Residuals (x - centroid) are what PQ quantizes: within a cell they
+# are small and centered, so the same code budget buys far less
+# quantization error than whole-vector PQ.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_cents_np(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    return np.array(ivf_centroids(dim, n_centroids, seed), dtype=np.float32)
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+    cent_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Train RESIDUAL PQ codebooks for the IVFADC layout -> (m, k, dim/m).
+
+    Same determinism contract as :func:`pq_train` (first ``sample_n``
+    vectors by id, fixed rng, fixed Lloyd sweeps), but k-means runs on
+    centroid residuals ``x - cents[assign(x)]`` — the distribution the
+    ADC search actually quantizes. The coarse codebook itself is the
+    deterministic :func:`ivf_centroids` (``dim``/``n_centroids``/
+    ``cent_seed`` pin it; pass the same triple to encode and search)."""
+    cents = _ivf_cents_np(dim, n_centroids, cent_seed)
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id").limit(sample_n).collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float32)
+    if x.ndim != 2 or x.shape[0] < k:
+        raise ValueError(f"need >= k={k} training vectors, got {x.shape}")
+    if x.shape[1] != dim:
+        raise ValueError(f"vector dim {x.shape[1]} != dim={dim}")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if normalize:
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(n == 0, 1.0, n)
+    # argmax of dot == argmin L2 for unit-norm centroids + normalized x;
+    # numpy argmax keeps the FIRST max — same tie rule as ivf_topk's
+    # array_position-of-max
+    assign = (x @ cents.T).argmax(axis=1)
+    resid = x - cents[assign]
+    return _train_books(resid, m, k, iters, seed)
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    n_centroids: int = 16,
+    cent_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """-> (id, centroid int, codes array<int>): one Arrow mapInPandas
+    pass — centroid assignment (argmax dot against the coarse codebook)
+    + residual PQ encode. Write this out partitioned by ``centroid``:
+    the search's probe filter then prunes files, which is the IVF scan
+    win at 10^12 rows."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    dim = books.shape[0] * books.shape[2]
+    cents = _ivf_cents_np(dim, n_centroids, cent_seed)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float32) for v in pdf["v"]])
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"vector dim {x.shape[1:]} != codebook dim {dim}")
+            if normalize:
+                n = np.linalg.norm(x, axis=1, keepdims=True)
+                x = x / np.where(n == 0, 1.0, n)
+            assign = (x @ cents.T).argmax(axis=1)
+            codes = _pq_codes_np(x - cents[assign], books)
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "centroid": assign.astype(np.int32),
+                "codes": [row.tolist() for row in codes.astype(np.int32)],
+            })
+
+    src = emb.select(
+        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v")
+    )
+    return src.mapInPandas(run, "id string, centroid int, codes array<int>")
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    n_centroids: int = 16,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank: int | None = None,
+    emb: DataFrame | None = None,
+    cent_seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """IVFADC search over (id, centroid, codes) from :func:`ivfpq_encode`
+    -> (query_id, neighbor_id, rank [, adist | cosine]).
+
+    Per query: probe the top ``n_probe`` centroids (by dot product), and
+    build one residual ADC lookup table PER PROBED CELL (the query
+    residual ``q - cent`` differs per cell — that is what makes
+    residual codes accurate). The union of all probed centroid ids
+    becomes a plan-side ``centroid IN (...)`` filter BEFORE the Arrow
+    stage, so a codes table partitioned by centroid is file-pruned to
+    n_probe/n_centroids of the data; inside a batch, scoring is m table
+    gathers + a sum per row, vectorized per (query, cell). LUTs ride
+    the task closure (nq x n_probe x m x k floats — queries are few by
+    contract). ``rerank=R`` (needs ``emb``) re-scores the top R per
+    query with exact cosine, as in :func:`pq_topk`."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    m, kk, dsub = books.shape
+    dim = m * dsub
+    cents = _ivf_cents_np(dim, n_centroids, cent_seed)
+    if not 1 <= n_probe <= n_centroids:
+        raise ValueError(f"n_probe={n_probe} not in [1, {n_centroids}]")
+    q_rows = queries.select(
+        F.col(q_id_col).cast("string").alias("qid"), F.col(q_vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("no query vectors")
+    luts = {}  # qid -> {centroid: (m, kk) residual LUT}
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float32)
+        if qv.shape != (dim,):
+            raise ValueError(f"query dim {qv.shape} != codebook dim {dim}")
+        if normalize:
+            n = float(np.linalg.norm(qv))
+            qv = qv / (n if n else 1.0)
+        order = np.argsort(-(cents @ qv), kind="stable")[:n_probe]
+        per_cell = {}
+        for c in order:
+            rq = qv - cents[c]
+            lut = np.empty((m, kk), dtype=np.float32)
+            for sub in range(m):
+                diff = books[sub] - rq[sub * dsub:(sub + 1) * dsub][None, :]
+                lut[sub] = (diff ** 2).sum(axis=1)
+            per_cell[int(c)] = lut
+        luts[r["qid"]] = per_cell
+    probed = sorted({c for pc in luts.values() for c in pc})
+    sub_idx = np.arange(m)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cell = pdf["centroid"].to_numpy()
+            c = np.array([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for qid, per_cell in luts.items():
+                for pc, lut in per_cell.items():
+                    mask = cell == pc
+                    if not mask.any():
+                        continue
+                    adist = lut[sub_idx[None, :], c[mask]].sum(axis=1)
+                    frames.append(pd.DataFrame({
+                        "query_id": qid, "neighbor_id": ids[mask],
+                        "adist": adist.astype(np.float64),
+                    }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pruned = codes.where(F.col("centroid").isin([int(c) for c in probed]))
+    scored = pruned.mapInPandas(
+        run, "query_id string, neighbor_id string, adist double"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    pool = rerank if rerank else k
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= pool)
+    )
+    if not rerank:
+        return top.select("query_id", "neighbor_id",
+                          F.round("adist", 6).alias("adist"), "rank")
+    if emb is None:
+        raise ValueError("rerank needs the raw embedding table (emb=)")
+    return _exact_rerank(
+        top.select("query_id", "neighbor_id"), queries, emb, k,
+        id_col, vec_col, q_id_col, q_vec_col,
     )

@@ -277,6 +277,7 @@ def near_dedup_stream(
     checkpoint_dir: str | None = None,
     append_to_store: bool = True,
     lsh_params: dict | None = None,
+    pairs_sink: str | None = None,
 ):
     """The incremental near-dedup workflow (pipeline.incremental) as a
     continuous pipeline: each arriving micro-batch's MinHash band
@@ -304,11 +305,14 @@ def near_dedup_stream(
     honors ``append_to_store`` like every later batch (a read-only
     monitor stays read-only).
 
-    Returns (query, pairs_log) — pairs_log collects
-    (batch_id, id_a, id_b, n_bands_matched) tuples; production swaps
-    the driver-side log for a partitioned sink write in the same
-    callback (the candidate set per batch is O(delta), small by
-    construction).
+    Returns (query, pairs_log). With ``pairs_sink=None`` (test/monitor
+    mode) pairs_log collects (batch_id, id_a, id_b, n_bands_matched)
+    tuples driver-side. ``pairs_sink=<path>`` is the PRODUCTION sink:
+    each batch's candidates append to that parquet table partitioned by
+    ``batch_id`` (one dir per micro-batch — a crash-replayed batch
+    overwrites ITS OWN partition, never touching earlier ones, so the
+    sink stays exactly-once per batch id), and nothing is collected to
+    the driver (pairs_log stays empty).
     """
     from ..pipeline import dedup, incremental
 
@@ -333,10 +337,19 @@ def near_dedup_stream(
             pairs = incremental.incremental_lsh_candidates(
                 spark, batch_df, store_root, id_col=id_col, text_col=text_col,
             )
-        for r in pairs.collect():
-            pairs_log.append(
-                (batch_id, r["id_a"], r["id_b"], r["n_bands_matched"])
-            )
+        if pairs_sink is not None:
+            # dynamic partition overwrite scoped to THIS batch id:
+            # replay-idempotent without rewriting other batches
+            (pairs.withColumn("batch_id", F.lit(batch_id))
+             .repartition(1)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(pairs_sink))
+        else:
+            for r in pairs.collect():
+                pairs_log.append(
+                    (batch_id, r["id_a"], r["id_b"], r["n_bands_matched"])
+                )
         if append_to_store:
             kw = params or lsh_params or {}
             incremental.append_signatures(

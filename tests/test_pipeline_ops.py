@@ -1605,3 +1605,99 @@ def test_pq_refuses_bad_shapes(spark):
     with _pytest.raises(ValueError, match="rerank needs"):
         sim.pq_topk(codes, emb.where(F.col("vec_id") == 0), books,
                     k=3, rerank=5).collect()
+
+
+def test_ivfpq_train_encode_residual_parity(spark):
+    """IVFADC (r5): residual codebooks are repartition-invariant, and the
+    distributed encode (centroid argmax-dot assignment + residual PQ
+    codes) matches the pure-numpy reference bit-for-bit."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(240, 16).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(240)],
+        "vec_id long, embedding array<float>")
+
+    b1 = sim.ivfpq_train(emb, dim=16, n_centroids=8, m=4, k=8,
+                         sample_n=200, iters=5)
+    b2 = sim.ivfpq_train(emb.repartition(13), dim=16, n_centroids=8, m=4,
+                         k=8, sample_n=200, iters=5)
+    assert b1.shape == (4, 8, 4)
+    np.testing.assert_array_equal(b1, b2)
+
+    got = {r["id"]: (r["centroid"], r["codes"])
+           for r in sim.ivfpq_encode(emb, b1, n_centroids=8).collect()}
+    x = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cents = sim._ivf_cents_np(16, 8, 7)
+    assign = (x @ cents.T).argmax(axis=1)
+    ref = sim._pq_codes_np(x - cents[assign], b1)
+    for i in range(240):
+        assert got[str(i)] == (int(assign[i]), ref[i].tolist())
+
+
+def test_ivfpq_topk_exact_when_all_probed_and_recall(spark):
+    """With every cell probed and a corpus-sized re-rank pool, IVFADC
+    degenerates to exact brute force (the approximation comes ONLY from
+    probe pruning + code quantization); at n_probe=4/8 the re-ranked
+    recall@5 stays >= 0.8. The probe filter must appear in the plan
+    BEFORE the Arrow stage (that is the file-prune at scale)."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(6, 32).astype(np.float32) * 3
+    rows = []
+    for i in range(300):
+        v = centers[i % 6] + rng.randn(32).astype(np.float32) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 3)
+
+    books = sim.ivfpq_train(emb, dim=32, n_centroids=8, m=8, k=16,
+                            sample_n=300, iters=8)
+    codes = sim.ivfpq_encode(emb, books, n_centroids=8)
+
+    full = sim.ivfpq_topk(codes, queries, books, n_centroids=8, k=5,
+                          n_probe=8, rerank=300, emb=emb)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    assert sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, exact.collect()), key=lambda t: (t[0], t[3]))
+
+    pruned = sim.ivfpq_topk(codes, queries, books, n_centroids=8, k=5,
+                            n_probe=4, rerank=40, emb=emb)
+    want, got = {}, {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in pruned.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = np.mean([len(want[q] & got[q]) / 5 for q in want])
+    assert recall >= 0.8, recall
+
+    # the centroid IN (...) filter sits under the Arrow stage: on a
+    # centroid-partitioned codes table this prunes files, not just rows
+    adc = sim.ivfpq_topk(codes, queries, books, n_centroids=8, k=5, n_probe=2)
+    plan = adc._jdf.queryExecution().optimizedPlan().toString()
+    assert "centroid" in plan and "IN" in plan
+
+
+def test_ivfpq_refusals(spark):
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, -1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    books = sim.ivfpq_train(emb, dim=4, n_centroids=4, m=2, k=4)
+    codes = sim.ivfpq_encode(emb, books, n_centroids=4)
+    with _pytest.raises(ValueError, match="n_probe"):
+        sim.ivfpq_topk(codes, emb.limit(1), books, n_centroids=4, n_probe=9)
+    with _pytest.raises(ValueError, match="rerank needs"):
+        sim.ivfpq_topk(codes, emb.where(F.col("vec_id") == 0), books,
+                       n_centroids=4, k=3, n_probe=4, rerank=5).collect()
+    with _pytest.raises(ValueError, match="dim"):
+        sim.ivfpq_train(emb, dim=8, n_centroids=4, m=2, k=4)

@@ -336,3 +336,47 @@ def test_streaming_near_dedup_bootstrap_semantics(spark, tmp_path):
     params = incremental.store_params(store_w)
     assert params["num_hashes"] == 16 and params["bands"] == 4
     assert params["store_buckets"] == 8
+
+
+def test_streaming_near_dedup_pairs_sink(spark, tmp_path):
+    """r5: the production pairs sink — each micro-batch's candidates land
+    in a parquet table partitioned by batch_id (nothing collected to the
+    driver), and a duplicate-of-old-clip pair arrives under the batch
+    that detected it."""
+    import os
+
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        near_dedup_stream,
+    )
+
+    src = str(tmp_path / "in_ps")
+    store = str(tmp_path / "ps_store")
+    sink = str(tmp_path / "ps_pairs")
+    v1 = datagen.clips_batch(np.arange(20))
+    v1.loc[v1.index[7], "transcript"] = v1.loc[3, "transcript"]  # intra dup
+    datagen.clips_df(spark, v1).write.parquet(src)
+
+    q, pairs_log = near_dedup_stream(
+        read_clips_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ck_ps"), pairs_sink=sink,
+        lsh_params={"num_hashes": 16, "bands": 4},
+    )
+    try:
+        q.processAllAvailable()
+        v2 = datagen.clips_batch(np.arange(20, 25))
+        v2.loc[v2.index[0], "transcript"] = v1.loc[4, "transcript"]  # 20~4
+        datagen.clips_df(spark, v2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert pairs_log == []  # production mode: nothing driver-side
+    out = spark.read.parquet(sink)
+    got = {tuple(sorted([r["id_a"], r["id_b"]])): r["batch_id"]
+           for r in out.collect()}
+    intra = tuple(sorted([datagen.clip_id_of(3), datagen.clip_id_of(7)]))
+    cross = tuple(sorted([datagen.clip_id_of(4), datagen.clip_id_of(20)]))
+    assert got[intra] == 0 and got[cross] == 1
+    # one partition dir per batch: replay overwrites only its own
+    assert (os.path.isdir(os.path.join(sink, "batch_id=0"))
+            and os.path.isdir(os.path.join(sink, "batch_id=1")))
