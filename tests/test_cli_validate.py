@@ -203,3 +203,16 @@ def test_cli_run_response_document(spark, tmp_path, capsys):
     assert doc2["validationStatus"] == "failure"
     assert doc2["error"] == "UTF_8"
     assert doc2["engineVersion"] == __version__
+
+
+def test_cli_dedup_store_stats_requires_store():
+    """--dedup-store-stats without --near-dedup-store refuses at argparse
+    time (it would otherwise silently no-op)."""
+    import pytest as _pytest
+
+    import validate
+
+    with _pytest.raises(SystemExit) as ei:
+        validate.main(["--table", "/nope", "--output", "/nope-out",
+                       "--dedup-store-stats"])
+    assert ei.value.code == 2  # argparse usage error, before any Spark work

@@ -117,6 +117,8 @@ def main(argv=None):
                    help="print single-pass per-column stats (A5) as JSON "
                         "to stderr before validating")
     args = p.parse_args(argv)
+    if args.dedup_store_stats and not args.near_dedup_store:
+        p.error("--dedup-store-stats requires --near-dedup-store")
 
     from tdr_draft_metadata_validator_spark import __version__ as engine_version
     from tdr_draft_metadata_validator_spark.models import FileError, ValidationParameters
