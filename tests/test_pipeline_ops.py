@@ -1701,3 +1701,39 @@ def test_ivfpq_refusals(spark):
                        n_centroids=4, k=3, n_probe=4, rerank=5).collect()
     with _pytest.raises(ValueError, match="dim"):
         sim.ivfpq_train(emb, dim=8, n_centroids=4, m=2, k=4)
+
+
+def test_ivfpq_partitioned_codes_prune_files(spark, tmp_path):
+    """The 10^12-row claim made concrete: codes written partitioned by
+    centroid are FILE-pruned by the probe filter — the physical scan of
+    a 2-probe search touches only the probed partition directories."""
+    import numpy as np
+
+    from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    books = sim.ivfpq_train(emb, dim=16, n_centroids=8, m=4, k=8)
+    path = str(tmp_path / "codes_by_cell")
+    sim.ivfpq_encode(emb, books, n_centroids=8).write.partitionBy(
+        "centroid").parquet(path)
+    codes = spark.read.parquet(path)
+
+    q = emb.where(F.col("vec_id") == 0)
+    adc = sim.ivfpq_topk(codes, q, books, n_centroids=8, k=3, n_probe=2)
+    rows = adc.collect()
+    assert len(rows) == 3
+    # physical proof: the probe filter lands as a PARTITION filter on
+    # the parquet scan (PartitionFilters: [centroid IN (a,b)]) — only
+    # the 2 probed centroid directories are read
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[centroid#\d+ IN \(([^)]*)\)\]", plan)
+    assert m, plan[:2000]
+    assert len(m.group(1).split(",")) == 2, m.group(1)
+    # and codes really has more cells than the probe touched
+    n_cells = codes.select("centroid").distinct().count()
+    assert n_cells > 2
