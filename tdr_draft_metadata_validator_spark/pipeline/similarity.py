@@ -803,3 +803,79 @@ def ivfpq_topk(
         top.select("query_id", "neighbor_id"), queries, emb, k,
         id_col, vec_col, q_id_col, q_vec_col,
     )
+
+
+# -- codebook persistence ----------------------------------------------------
+# A PQ/IVFPQ index is only valid under the EXACT codebooks that encoded
+# it (the docstrings above warn that a re-rolled codebook silently
+# invalidates every stored code). Persisting the codebooks next to the
+# codes table with pinned parameters makes that contract enforceable
+# across runs — the same discipline as the signature store's pinned
+# manifest (pipeline/incremental.py): load refuses on any mismatch
+# instead of returning wrong neighbors.
+
+_CB_PARAMS = "params.json"
+_CB_BOOKS = "codebooks.npy"
+
+
+def save_codebooks(
+    path: str,
+    codebooks: np.ndarray,
+    kind: str = "pq",
+    n_centroids: int | None = None,
+    cent_seed: int = 7,
+    normalize: bool = True,
+) -> None:
+    """Persist trained codebooks + pinned search parameters (driver-side
+    KB artifact; write-once — refuses to clobber an existing index's
+    codebooks, which stored codes may depend on)."""
+    import json
+    import os
+
+    if kind not in ("pq", "ivfpq"):
+        raise ValueError(f"kind must be pq|ivfpq, got {kind!r}")
+    if kind == "ivfpq" and not n_centroids:
+        raise ValueError("ivfpq codebooks need n_centroids")
+    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    if books.ndim != 3:
+        raise ValueError(f"codebooks must be (m, k, dsub), got {books.shape}")
+    os.makedirs(path, exist_ok=True)
+    if os.path.exists(os.path.join(path, _CB_PARAMS)):
+        raise FileExistsError(
+            f"{path!r} already holds codebooks; stored codes may depend on "
+            "them — write a NEW index directory instead of overwriting")
+    m, k, dsub = books.shape
+    np.save(os.path.join(path, _CB_BOOKS), books)
+    params = {"kind": kind, "m": m, "k": k, "dim": m * dsub,
+              "normalize": normalize}
+    if kind == "ivfpq":
+        params |= {"n_centroids": int(n_centroids), "cent_seed": cent_seed}
+    with open(os.path.join(path, _CB_PARAMS), "w") as f:
+        json.dump(params, f, indent=2)
+
+
+def load_codebooks(path: str, expect_kind: str | None = None):
+    """-> (codebooks, params). Refuses on missing files, array/params
+    shape mismatch, or a kind mismatch (searching an ivfpq codes table
+    with pq codebooks returns silently wrong neighbors — the refusal is
+    the feature)."""
+    import json
+    import os
+
+    pf = os.path.join(path, _CB_PARAMS)
+    bf = os.path.join(path, _CB_BOOKS)
+    if not (os.path.exists(pf) and os.path.exists(bf)):
+        raise FileNotFoundError(f"{path!r} is not a codebook directory")
+    with open(pf) as f:
+        params = json.load(f)
+    books = np.load(bf)
+    m, k, dsub = books.shape
+    if (params["m"], params["k"], params["dim"]) != (m, k, m * dsub):
+        raise ValueError(
+            f"codebook array {books.shape} contradicts pinned params "
+            f"{params} — index directory corrupted")
+    if expect_kind is not None and params["kind"] != expect_kind:
+        raise ValueError(
+            f"index at {path!r} is kind={params['kind']!r}, caller expects "
+            f"{expect_kind!r}")
+    return books, params

@@ -1737,3 +1737,46 @@ def test_ivfpq_partitioned_codes_prune_files(spark, tmp_path):
     # and codes really has more cells than the probe touched
     n_cells = codes.select("centroid").distinct().count()
     assert n_cells > 2
+
+
+def test_codebook_persistence_roundtrip_and_refusals(spark, tmp_path):
+    """Codebooks persist with pinned params and load bit-exact (search
+    results over a stored codes table are identical across processes);
+    overwrite, kind-mismatch and corruption all refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(100, 16).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+    books = sim.ivfpq_train(emb, dim=16, n_centroids=4, m=4, k=8)
+
+    idx = str(tmp_path / "idx")
+    sim.save_codebooks(idx, books, kind="ivfpq", n_centroids=4)
+    loaded, params = sim.load_codebooks(idx, expect_kind="ivfpq")
+    np.testing.assert_array_equal(books, loaded)
+    assert params == {"kind": "ivfpq", "m": 4, "k": 8, "dim": 16,
+                      "normalize": True, "n_centroids": 4, "cent_seed": 7}
+    # loaded codebooks drive the search identically
+    codes = sim.ivfpq_encode(emb, loaded, n_centroids=params["n_centroids"])
+    q = emb.where(F.col("vec_id") == 0)
+    got = sim.ivfpq_topk(codes, q, loaded,
+                         n_centroids=params["n_centroids"], k=3,
+                         n_probe=4).collect()
+    assert len(got) == 3
+
+    with _pytest.raises(FileExistsError, match="NEW index"):
+        sim.save_codebooks(idx, books, kind="ivfpq", n_centroids=4)
+    with _pytest.raises(ValueError, match="expects"):
+        sim.load_codebooks(idx, expect_kind="pq")
+    with _pytest.raises(ValueError, match="n_centroids"):
+        sim.save_codebooks(str(tmp_path / "i2"), books, kind="ivfpq")
+    # corruption: params say a different shape than the array
+    np.save(str(tmp_path / "idx" / "codebooks.npy"),
+            books[:, :4, :])  # k 8 -> 4
+    with _pytest.raises(ValueError, match="contradicts"):
+        sim.load_codebooks(idx)
