@@ -128,6 +128,25 @@ def main():
     )
     shutil.rmtree(store_root, ignore_errors=True)
 
+    # IVFADC (r5): codes table partitioned by centroid; the probe
+    # filter must land as PartitionFilters on the parquet scan — the
+    # search reads ONLY the probed cells' files
+    emb64 = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(16)]) for i in range(64)],
+        "vec_id int, embedding array<double>",
+    )
+    books = similarity.ivfpq_train(emb64, dim=16, n_centroids=8, m=4, k=8,
+                                   sample_n=64, iters=4)
+    codes_path = tempfile.mkdtemp(prefix="plans_ivfpq_") + "/codes"
+    similarity.ivfpq_encode(emb64, books, n_centroids=8).write.partitionBy(
+        "centroid").parquet(codes_path)
+    sections["IVFADC top-k (probe filter -> partition-pruned codes scan)"] = plan_of(
+        similarity.ivfpq_topk(
+            spark.read.parquet(codes_path), emb64.where("vec_id < 2"),
+            books, n_centroids=8, k=3, n_probe=2,
+        )
+    )
+
     out = ["# PLANS — physical plans of the core operators\n",
            "Generated by scripts/explain_plans.py (local[4], parquet inputs).\n",
            "Checked properties: pruned ReadSchema (no `bytes` outside the",
@@ -152,6 +171,9 @@ def main():
     # (band, bp) — the delta prunes cells instead of scanning the log
     assert "PartitionFilters: [(" in inc_plan or "PartitionFilters: [((" in inc_plan, \
         "store scan must be partition-pruned to the delta's (band, bp) cells"
+    adc_plan = sections["IVFADC top-k (probe filter -> partition-pruned codes scan)"]
+    assert "PartitionFilters: [centroid" in adc_plan, \
+        "IVFADC probe must partition-prune the codes scan"
     spark.stop()
 
 
