@@ -250,3 +250,51 @@ def test_star_components_match_union_find(spark, edges, use_star):
         for r in dedup.near_dup_components(pairs, method=method, max_iter=40).collect()
     }
     assert got == truth
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=3000),
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from(["verbatim", "fixed"]),
+    st.sampled_from([0, 1, 2, 3]),
+)
+def test_flac_roundtrip_exact(samples, sr, subframe, order):
+    """FLAC is lossless by construction: ANY int16 mono signal
+    roundtrips bit-exact through encode_flac -> decode_flac in both
+    verbatim and every fixed-predictor order, across block boundaries
+    (blocksize 256 forces multi-frame streams past 256 samples)."""
+    from tdr_draft_metadata_validator_spark.functions.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.asarray(samples, dtype=np.int16)
+    payload = encode_flac(x, sr, blocksize=256, subframe=subframe,
+                          fixed_order=order)
+    sr2, y = decode_flac(payload)
+    assert sr2 == sr
+    assert np.array_equal(x, y)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=64, max_size=500),
+       st.integers(0, 60))
+def test_flac_bitflip_never_silent(samples, flip_at):
+    """Corrupting a byte in the frame region either still decodes to the
+    EXACT original (the flip hit padding/unused coding space) or raises
+    ValueError — decode_flac never silently returns wrong samples
+    (CRC-8 on headers, CRC-16 on frames)."""
+    from tdr_draft_metadata_validator_spark.functions.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.asarray(samples, dtype=np.int16)
+    payload = bytearray(encode_flac(x, 16000, subframe="fixed"))
+    # flip inside the frame section (after the 42-byte header+STREAMINFO)
+    pos = 42 + (flip_at % max(1, len(payload) - 42))
+    payload[pos] ^= 0x40
+    try:
+        _, y = decode_flac(bytes(payload))
+    except ValueError:
+        return  # detected — the expected outcome
+    assert np.array_equal(x, y), "corruption neither detected nor harmless"
