@@ -298,3 +298,52 @@ def test_flac_bitflip_never_silent(samples, flip_at):
     except ValueError:
         return  # detected — the expected outcome
     assert np.array_equal(x, y), "corruption neither detected nor harmless"
+
+
+@given(st.integers(0, 2**31 - 1), st.sampled_from([2, 4, 8]),
+       st.sampled_from([4, 8, 16]))
+def test_pq_adc_lut_identity(seed, m, k):
+    """The ADC decomposition law pq_topk/ivfpq_topk rely on: the
+    per-subspace LUT-gathered sum equals the direct squared L2 distance
+    between the query and the code's reconstruction — for ANY codebooks,
+    codes and query (subspace distances are independent, so the sum
+    telescopes exactly)."""
+    rng = np.random.RandomState(seed)
+    dsub = 4
+    dim = m * dsub
+    books = rng.randn(m, k, dsub).astype(np.float32)
+    q = rng.randn(dim).astype(np.float32)
+    codes = rng.randint(0, k, size=(16, m))
+    # LUT path (what the search builds per query)
+    lut = np.empty((m, k), dtype=np.float64)
+    for sub in range(m):
+        diff = books[sub].astype(np.float64) - q[sub * dsub:(sub + 1) * dsub]
+        lut[sub] = (diff ** 2).sum(axis=1)
+    adist = lut[np.arange(m)[None, :], codes].sum(axis=1)
+    # direct path: reconstruct each code and measure
+    recon = np.concatenate(
+        [books[sub][codes[:, sub]] for sub in range(m)], axis=1
+    ).astype(np.float64)
+    direct = ((recon - q.astype(np.float64)) ** 2).sum(axis=1)
+    np.testing.assert_allclose(adist, direct, rtol=1e-6, atol=1e-6)
+
+
+@given(st.integers(0, 2**31 - 1))
+def test_pq_encode_picks_nearest_code(seed):
+    """_pq_codes_np optimality: per subspace, the chosen code's centroid
+    is at least as close as every other centroid (argmin correctness of
+    the vectorized -2x.c + ||c||^2 trick)."""
+    from tdr_draft_metadata_validator_spark.pipeline.similarity import (
+        _pq_codes_np,
+    )
+
+    rng = np.random.RandomState(seed)
+    m, k, dsub = 4, 8, 3
+    books = rng.randn(m, k, dsub).astype(np.float32)
+    x = rng.randn(10, m * dsub).astype(np.float32)
+    codes = _pq_codes_np(x, books)
+    for sub in range(m):
+        xs = x[:, sub * dsub:(sub + 1) * dsub].astype(np.float64)
+        d = ((xs[:, None, :] - books[sub][None].astype(np.float64)) ** 2).sum(-1)
+        chosen = d[np.arange(10), codes[:, sub]]
+        assert (chosen <= d.min(axis=1) + 1e-9).all()
