@@ -210,6 +210,7 @@ def append_signatures(
     text_col: str = "text",
     lane: str = "xxhash64",
     store_buckets: int = 16,
+    buckets: DataFrame | None = None,
 ) -> int:
     """Compute ``docs``' band buckets and append them as the next store
     batch (creates the store on first call, pinning LSH parameters AND
@@ -219,7 +220,13 @@ def append_signatures(
     one partitioned parquet write of the NEW buckets; existing batches
     are never rewritten (the Iceberg-append analog — at 10^12 rows this
     is the property that matters). ``store_buckets`` is only consulted
-    at store creation; afterwards the pinned grid wins."""
+    at store creation; afterwards the pinned grid wins.
+
+    ``buckets``: pre-computed (id, band, bh) rows for ``docs`` — pass
+    them when the same batch already computed its buckets for a
+    candidate join (streaming does) so the text-reading minhash pass
+    runs ONCE per batch. Caller's contract: computed under the store's
+    pinned params (pass them in too, the mismatch check still runs)."""
     params = _check_params(root, {
         "num_hashes": num_hashes, "bands": bands, "n": n, "lane": lane,
         "store_buckets": store_buckets,
@@ -228,10 +235,12 @@ def append_signatures(
         man = _manifest(root)
         batches = man["batches"]
         bid = (batches[-1]["batch_id"] + 1) if batches else 1
-        buckets = minhash_band_buckets(
-            docs, params["num_hashes"], params["bands"], params["n"],
-            id_col, text_col, lane=params["lane"],
-        )
+        if buckets is None:
+            buckets = minhash_band_buckets(
+                docs, params["num_hashes"], params["bands"], params["n"],
+                id_col, text_col, lane=params["lane"],
+            )
+        buckets = buckets.select(*_BUCKET_COLS)
         # pin the buckets (O(delta x bands) rows): the emptiness probe
         # and the write below then share ONE computation of the
         # text-reading minhash pass instead of running it twice
@@ -429,6 +438,7 @@ def incremental_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_delta: bool = True,
+    delta_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, n_bands_matched): LSH candidate pairs touching the
     delta — (delta x corpus) u (delta x delta) — WITHOUT recomputing any
@@ -457,10 +467,16 @@ def incremental_lsh_candidates(
     params = store_params(root)
     if params is None:
         raise FileNotFoundError(f"signature store {root!r} has no parameters")
-    delta_b = minhash_band_buckets(
-        delta_docs, params["num_hashes"], params["bands"], params["n"],
-        id_col, text_col, lane=params["lane"],
-    )
+    if delta_buckets is not None:
+        # caller computed the delta's (id, band, bh) buckets once (under
+        # the store's pinned params — the caller's contract) to share
+        # them with a same-batch append_signatures call
+        delta_b = delta_buckets
+    else:
+        delta_b = minhash_band_buckets(
+            delta_docs, params["num_hashes"], params["bands"], params["n"],
+            id_col, text_col, lane=params["lane"],
+        )
     sb = params.get("store_buckets")
     prune = None
     if sb:

@@ -363,6 +363,29 @@ def pq_train(
     Lloyd runs a fixed ``iters`` sweeps (empty clusters re-seed to the
     farthest point, deterministically). The collect is bounded by
     ``sample_n`` — this is the one driver-side step, by design."""
+    x = _collect_training_sample(emb, sample_n, m, k, id_col, vec_col,
+                                 normalize)
+    return _train_books(x, m, k, iters, seed)
+
+
+def _collect_training_sample(
+    emb: DataFrame,
+    sample_n: int,
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    normalize: bool,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Shared pq_train/ivfpq_train sample step: first ``sample_n``
+    vectors by id (deterministic under any partitioning), validated
+    (ragged batches, k vs sample size, dim divisibility, optional
+    expected dim) and optionally L2-normalized."""
+    if k > 256:
+        raise ValueError(
+            f"k={k} > 256: codes are stored as uint8 (one byte per "
+            "subspace); larger k would silently wrap")
     rows = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id").limit(sample_n).collect()
@@ -370,13 +393,14 @@ def pq_train(
     x = np.array([r["v"] for r in rows], dtype=np.float32)
     if x.ndim != 2 or x.shape[0] < k:
         raise ValueError(f"need >= k={k} training vectors, got {x.shape}")
-    dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if dim is not None and x.shape[1] != dim:
+        raise ValueError(f"vector dim {x.shape[1]} != dim={dim}")
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m} subspaces")
     if normalize:
         n = np.linalg.norm(x, axis=1, keepdims=True)
         x = x / np.where(n == 0, 1.0, n)
-    return _train_books(x, m, k, iters, seed)
+    return x
 
 
 def _train_books(x: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.ndarray:
@@ -384,6 +408,10 @@ def _train_books(x: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.nda
     Deterministic: fixed RandomState, fixed Lloyd sweep count, empty
     clusters re-seed to the farthest point. Shared by pq_train (raw
     vectors) and ivfpq_train (centroid residuals)."""
+    if k > 256:
+        raise ValueError(
+            f"k={k} > 256: codes are stored as uint8 (one byte per "
+            "subspace); larger k would silently wrap")
     dim = x.shape[1]
     dsub = dim // m
     rng = np.random.RandomState(seed)
@@ -445,8 +473,9 @@ def pq_encode(
             if not len(pdf):
                 continue
             x = np.array([np.asarray(v, dtype=np.float32) for v in pdf["v"]])
-            if x.shape[1] != dim:
-                raise ValueError(f"vector dim {x.shape[1]} != codebook dim {dim}")
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"vector dim {x.shape[1:]} != codebook dim {dim}")
             if normalize:
                 n = np.linalg.norm(x, axis=1, keepdims=True)
                 x = x / np.where(n == 0, 1.0, n)
@@ -491,22 +520,9 @@ def pq_topk(
     the tiny re-rank join."""
     books = np.ascontiguousarray(codebooks, dtype=np.float32)
     m, kk, dsub = books.shape
-    q_rows = queries.select(
-        F.col(q_id_col).cast("string").alias("qid"), F.col(q_vec_col).alias("qv")
-    ).collect()
-    if not q_rows:
-        raise ValueError("no query vectors")
-    luts = {}
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float32)
-        if normalize:
-            n = float(np.linalg.norm(qv))
-            qv = qv / (n if n else 1.0)
-        lut = np.empty((m, kk), dtype=np.float32)
-        for sub in range(m):
-            diff = books[sub] - qv[sub * dsub:(sub + 1) * dsub][None, :]
-            lut[sub] = (diff ** 2).sum(axis=1)
-        luts[r["qid"]] = lut
+    q_rows = _collect_queries(queries, q_id_col, q_vec_col, m * dsub,
+                              normalize)
+    luts = {qid: _adc_lut(books, qv) for qid, qv in q_rows}
     sub_idx = np.arange(m)
 
     def run(batches):
@@ -529,6 +545,62 @@ def pq_topk(
     scored = codes.mapInPandas(
         run, "query_id string, neighbor_id string, adist double"
     ).where(F.col("neighbor_id") != F.col("query_id"))
+    return _adc_rank(scored, k, rerank, emb, queries,
+                     id_col, vec_col, q_id_col, q_vec_col)
+
+
+def _collect_queries(
+    queries: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    dim: int,
+    normalize: bool,
+) -> list[tuple[str, np.ndarray]]:
+    """Shared pq_topk/ivfpq_topk query collect: validates dimensionality
+    against the codebooks (a wrong-width query would be silently
+    truncated/broadcast into wrong neighbors) and L2-normalizes."""
+    q_rows = queries.select(
+        F.col(q_id_col).cast("string").alias("qid"), F.col(q_vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("no query vectors")
+    out = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float32)
+        if qv.shape != (dim,):
+            raise ValueError(
+                f"query dim {qv.shape} != codebook dim {dim}")
+        if normalize:
+            n = float(np.linalg.norm(qv))
+            qv = qv / (n if n else 1.0)
+        out.append((r["qid"], qv))
+    return out
+
+
+def _adc_lut(books: np.ndarray, qv: np.ndarray) -> np.ndarray:
+    """(m, k) table of per-subspace squared distances from ``qv`` to
+    every code — the ADC lookup table (shared pq_topk/ivfpq_topk)."""
+    m, kk, dsub = books.shape
+    lut = np.empty((m, kk), dtype=np.float32)
+    for sub in range(m):
+        diff = books[sub] - qv[sub * dsub:(sub + 1) * dsub][None, :]
+        lut[sub] = (diff ** 2).sum(axis=1)
+    return lut
+
+
+def _adc_rank(
+    scored: DataFrame,
+    k: int,
+    rerank: int | None,
+    emb: DataFrame | None,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+) -> DataFrame:
+    """Shared pq_topk/ivfpq_topk tail: per-query top-pool window over
+    adist, then either the pure-ADC result or the exact re-rank."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )
@@ -630,20 +702,8 @@ def ivfpq_train(
     deterministic :func:`ivf_centroids` (``dim``/``n_centroids``/
     ``cent_seed`` pin it; pass the same triple to encode and search)."""
     cents = _ivf_cents_np(dim, n_centroids, cent_seed)
-    rows = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id").limit(sample_n).collect()
-    )
-    x = np.array([r["v"] for r in rows], dtype=np.float32)
-    if x.ndim != 2 or x.shape[0] < k:
-        raise ValueError(f"need >= k={k} training vectors, got {x.shape}")
-    if x.shape[1] != dim:
-        raise ValueError(f"vector dim {x.shape[1]} != dim={dim}")
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    if normalize:
-        n = np.linalg.norm(x, axis=1, keepdims=True)
-        x = x / np.where(n == 0, 1.0, n)
+    x = _collect_training_sample(emb, sample_n, m, k, id_col, vec_col,
+                                 normalize, dim=dim)
     # argmax of dot == argmin L2 for unit-norm centroids + normalized x;
     # numpy argmax keeps the FIRST max — same tie rule as ivf_topk's
     # array_position-of-max
@@ -733,29 +793,11 @@ def ivfpq_topk(
     cents = _ivf_cents_np(dim, n_centroids, cent_seed)
     if not 1 <= n_probe <= n_centroids:
         raise ValueError(f"n_probe={n_probe} not in [1, {n_centroids}]")
-    q_rows = queries.select(
-        F.col(q_id_col).cast("string").alias("qid"), F.col(q_vec_col).alias("qv")
-    ).collect()
-    if not q_rows:
-        raise ValueError("no query vectors")
+    q_rows = _collect_queries(queries, q_id_col, q_vec_col, dim, normalize)
     luts = {}  # qid -> {centroid: (m, kk) residual LUT}
-    for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float32)
-        if qv.shape != (dim,):
-            raise ValueError(f"query dim {qv.shape} != codebook dim {dim}")
-        if normalize:
-            n = float(np.linalg.norm(qv))
-            qv = qv / (n if n else 1.0)
+    for qid, qv in q_rows:
         order = np.argsort(-(cents @ qv), kind="stable")[:n_probe]
-        per_cell = {}
-        for c in order:
-            rq = qv - cents[c]
-            lut = np.empty((m, kk), dtype=np.float32)
-            for sub in range(m):
-                diff = books[sub] - rq[sub * dsub:(sub + 1) * dsub][None, :]
-                lut[sub] = (diff ** 2).sum(axis=1)
-            per_cell[int(c)] = lut
-        luts[r["qid"]] = per_cell
+        luts[qid] = {int(c): _adc_lut(books, qv - cents[c]) for c in order}
     probed = sorted({c for pc in luts.values() for c in pc})
     sub_idx = np.arange(m)
 
@@ -786,23 +828,8 @@ def ivfpq_topk(
     scored = pruned.mapInPandas(
         run, "query_id string, neighbor_id string, adist double"
     ).where(F.col("neighbor_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    pool = rerank if rerank else k
-    top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= pool)
-    )
-    if not rerank:
-        return top.select("query_id", "neighbor_id",
-                          F.round("adist", 6).alias("adist"), "rank")
-    if emb is None:
-        raise ValueError("rerank needs the raw embedding table (emb=)")
-    return _exact_rerank(
-        top.select("query_id", "neighbor_id"), queries, emb, k,
-        id_col, vec_col, q_id_col, q_vec_col,
-    )
+    return _adc_rank(scored, k, rerank, emb, queries,
+                     id_col, vec_col, q_id_col, q_vec_col)
 
 
 # -- codebook persistence ----------------------------------------------------

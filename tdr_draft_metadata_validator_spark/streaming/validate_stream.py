@@ -312,10 +312,19 @@ def near_dedup_stream(
     ``batch_id`` (one dir per micro-batch — a crash-replayed batch
     overwrites ITS OWN partition, never touching earlier ones, so the
     sink stays exactly-once per batch id), and nothing is collected to
-    the driver (pairs_log stays empty).
+    the driver (pairs_log stays empty). The exactly-once contract rests
+    on STABLE batch ids, which only a real ``checkpoint_dir`` provides
+    (a temporary checkpoint restarts ids at 0 and the overwrite would
+    clobber earlier batches' pairs) — so ``pairs_sink`` REQUIRES
+    ``checkpoint_dir``.
     """
     from ..pipeline import dedup, incremental
 
+    if pairs_sink is not None and not checkpoint_dir:
+        raise ValueError(
+            "pairs_sink requires checkpoint_dir: without a persistent "
+            "checkpoint a restarted stream restarts batch ids at 0 and "
+            "overwrites earlier batches' pairs")
     pairs_log: list[tuple[int, str, str, int]] = []
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -323,6 +332,17 @@ def near_dedup_stream(
             return
         spark = batch_df.sparkSession
         params = incremental.store_params(store_root)
+        if params is not None and lsh_params:
+            # the store's pinned parameters always win; a caller who
+            # passed DIFFERENT ones would misread every n_bands_matched
+            # value — refuse instead of silently ignoring them
+            conflict = {k: (lsh_params[k], params[k]) for k in lsh_params
+                        if k in params and lsh_params[k] != params[k]}
+            if conflict:
+                raise ValueError(
+                    f"lsh_params conflict with the store's pinned "
+                    f"parameters (given, pinned): {conflict}")
+        bkts = None
         if params is None:
             # no store yet: the store side of the join is empty, so the
             # candidates are exactly the batch's self-join
@@ -334,8 +354,16 @@ def near_dedup_stream(
                 id_col=id_col, text_col=text_col, lane=lsh["lane"],
             )
         else:
+            # compute this batch's buckets ONCE and share them between
+            # the candidate join and the store append below (the
+            # text-reading minhash pass is the batch's dominant cost)
+            bkts = dedup.minhash_band_buckets(
+                batch_df, params["num_hashes"], params["bands"], params["n"],
+                id_col, text_col, lane=params["lane"],
+            ).localCheckpoint(eager=True)
             pairs = incremental.incremental_lsh_candidates(
                 spark, batch_df, store_root, id_col=id_col, text_col=text_col,
+                delta_buckets=bkts,
             )
         if pairs_sink is not None:
             # dynamic partition overwrite scoped to THIS batch id:
@@ -354,6 +382,7 @@ def near_dedup_stream(
             kw = params or lsh_params or {}
             incremental.append_signatures(
                 batch_df, store_root, id_col=id_col, text_col=text_col,
+                buckets=bkts,
                 **{k: v for k, v in kw.items()
                    if k in ("num_hashes", "bands", "n", "lane",
                             "store_buckets")},

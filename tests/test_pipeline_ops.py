@@ -1780,3 +1780,26 @@ def test_codebook_persistence_roundtrip_and_refusals(spark, tmp_path):
             books[:, :4, :])  # k 8 -> 4
     with _pytest.raises(ValueError, match="contradicts"):
         sim.load_codebooks(idx)
+
+
+def test_pq_query_dim_and_k_guards(spark):
+    """Review r5: a wrong-width query must refuse (it used to be
+    silently truncated per-subspace into wrong neighbors), and k > 256
+    must refuse at train time (codes are uint8 — larger k would wrap)."""
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.pipeline import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, -1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    books = sim.pq_train(emb, m=2, k=4)
+    codes = sim.pq_encode(emb, books)
+    bad_q = spark.createDataFrame(
+        [(0, [1.0] * 6)], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="query dim"):
+        sim.pq_topk(codes, bad_q, books, k=3)
+    with _pytest.raises(ValueError, match="query dim"):
+        sim.ivfpq_topk(codes, bad_q, books, n_centroids=4, k=3)
+    with _pytest.raises(ValueError, match="uint8"):
+        sim.pq_train(emb, m=2, k=300, sample_n=400)

@@ -380,3 +380,39 @@ def test_streaming_near_dedup_pairs_sink(spark, tmp_path):
     # one partition dir per batch: replay overwrites only its own
     assert (os.path.isdir(os.path.join(sink, "batch_id=0"))
             and os.path.isdir(os.path.join(sink, "batch_id=1")))
+
+
+def test_streaming_near_dedup_guards(spark, tmp_path):
+    """Review r5: pairs_sink without a persistent checkpoint refuses
+    (batch ids reset on restart -> the overwrite would clobber earlier
+    batches), and lsh_params conflicting with an existing store's pinned
+    parameters refuse instead of being silently ignored."""
+    import pytest as _pytest
+
+    from tdr_draft_metadata_validator_spark.pipeline import incremental
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        near_dedup_stream,
+    )
+
+    src = str(tmp_path / "in_g")
+    datagen.clips_df(spark, datagen.clips_batch(np.arange(5))).write.parquet(src)
+
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        near_dedup_stream(read_clips_stream(spark, src),
+                          str(tmp_path / "s1"),
+                          pairs_sink=str(tmp_path / "p1"))
+
+    store = str(tmp_path / "s2")
+    incremental.append_signatures(
+        spark.read.parquet(src), store, num_hashes=16, bands=4,
+        id_col="clip_id", text_col="transcript")
+    q, _ = near_dedup_stream(
+        read_clips_stream(spark, src), store,
+        checkpoint_dir=str(tmp_path / "ck_g"),
+        lsh_params={"bands": 8},  # store pinned bands=4
+    )
+    try:
+        with _pytest.raises(Exception, match="pinned"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
