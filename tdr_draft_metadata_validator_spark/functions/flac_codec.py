@@ -362,7 +362,10 @@ def encode_flac(
     frames land just OVER the 8192-byte boundary and pad to 16 KB
     (doubling CRC work); 4080 lands just under it.
     """
-    if not 16 <= blocksize <= 65536:
+    # 65535 max, not 65536: STREAMINFO min/max blocksize are 16-bit
+    # fields, so 65536 would wrap to 0 — an invalid STREAMINFO every
+    # external decoder rejects (RFC 9639 pins the spec max at 65535)
+    if not 16 <= blocksize <= 65535:
         raise ValueError(f"blocksize {blocksize} out of range")
     if subframe not in ("verbatim", "fixed"):
         raise ValueError(f"unknown subframe mode {subframe!r}")

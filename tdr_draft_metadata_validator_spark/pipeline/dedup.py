@@ -318,6 +318,15 @@ def minhash_lsh_candidates(
     buckets = minhash_band_buckets(
         docs, num_hashes, bands, n, id_col, text_col, lane=lane
     )
+    return lsh_candidates_from_buckets(buckets)
+
+
+def lsh_candidates_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Self-join of precomputed (id, band, bh) band buckets ->
+    (id_a, id_b, n_bands_matched) candidate pairs. Split out so a
+    caller that already holds the buckets (the streaming bootstrap
+    batch, which also appends them to the signature store) runs the
+    text-reading minhash pass ONCE per batch."""
     a = buckets.select(F.col("id").alias("id_a"), "band", "bh")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bh")
     return (

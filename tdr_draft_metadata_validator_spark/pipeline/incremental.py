@@ -274,7 +274,12 @@ def append_signatures(
         return bid
 
 
-def retire_signatures(spark: SparkSession, root: str, ids: DataFrame) -> int:
+def retire_signatures(
+    spark: SparkSession,
+    root: str,
+    ids: DataFrame,
+    max_batch_id: int | None = None,
+) -> int:
     """Tombstone the buckets of ``ids`` (one-column frame): they vanish
     from every subsequent read; :func:`compact_signature_store` applies
     them physically. This is the supersession primitive — a changed
@@ -283,16 +288,28 @@ def retire_signatures(spark: SparkSession, root: str, ids: DataFrame) -> int:
     retire theirs without waiting for a compaction. Returns the
     tombstone id. O(ids) write; nothing is rewritten.
 
-    A tombstone is SCOPED to the batches that existed when it was
-    written (``max_batch_id``): signatures the same ids append LATER
-    are alive — retire-then-append supersession replaces, it does not
-    permanently ban the id."""
+    A tombstone is SCOPED to the batches it covers (``max_batch_id``,
+    defaulting to the last batch in the manifest at write time):
+    signatures the same ids carry in LATER batches stay alive —
+    supersession replaces, it does not permanently ban the id. The
+    explicit parameter supports the crash-safe APPEND-then-retire order
+    (validate.py --delta-mode changed): append the new batch first,
+    then tombstone scoped to ``new_batch_id - 1`` — a crash between the
+    two leaves BOTH generations alive (phantom candidates against the
+    superseded text until the delta is re-run — a widening, recoverable
+    failure), never a store silently missing the ids entirely."""
     if store_params(root) is None:
         raise FileNotFoundError(f"signature store {root!r} has no parameters")
     with _writer_lock(root):
         man = _manifest(root)
         tid = (man["tombstones"][-1]["tombstone_id"] + 1) if man["tombstones"] else 1
-        max_bid = man["batches"][-1]["batch_id"] if man["batches"] else 0
+        last_bid = man["batches"][-1]["batch_id"] if man["batches"] else 0
+        max_bid = last_bid if max_batch_id is None else max_batch_id
+        if max_bid > last_bid:
+            raise ValueError(
+                f"max_batch_id={max_bid} exceeds the last committed "
+                f"batch {last_bid} — a tombstone cannot pre-cover "
+                f"batches that do not exist yet")
         path = f"tombstone-{tid}"
         ids.select(
             F.col(ids.columns[0]).cast("string").alias("id")

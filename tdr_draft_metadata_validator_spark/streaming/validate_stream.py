@@ -342,21 +342,22 @@ def near_dedup_stream(
                 raise ValueError(
                     f"lsh_params conflict with the store's pinned "
                     f"parameters (given, pinned): {conflict}")
-        bkts = None
+        # compute this batch's buckets ONCE and share them between the
+        # candidate join and the store append below (the text-reading
+        # minhash pass is the batch's dominant cost) — on the bootstrap
+        # batch too: its self-join candidates derive from the same
+        # buckets its append publishes
         if params is None:
             # no store yet: the store side of the join is empty, so the
             # candidates are exactly the batch's self-join
             lsh = {"num_hashes": 32, "bands": 8, "n": 3, "lane": "xxhash64",
                    **(lsh_params or {})}
-            pairs = dedup.minhash_lsh_candidates(
-                batch_df,
-                num_hashes=lsh["num_hashes"], bands=lsh["bands"], n=lsh["n"],
-                id_col=id_col, text_col=text_col, lane=lsh["lane"],
-            )
+            bkts = dedup.minhash_band_buckets(
+                batch_df, lsh["num_hashes"], lsh["bands"], lsh["n"],
+                id_col, text_col, lane=lsh["lane"],
+            ).localCheckpoint(eager=True)
+            pairs = dedup.lsh_candidates_from_buckets(bkts)
         else:
-            # compute this batch's buckets ONCE and share them between
-            # the candidate join and the store append below (the
-            # text-reading minhash pass is the batch's dominant cost)
             bkts = dedup.minhash_band_buckets(
                 batch_df, params["num_hashes"], params["bands"], params["n"],
                 id_col, text_col, lane=params["lane"],
@@ -367,9 +368,12 @@ def near_dedup_stream(
             )
         if pairs_sink is not None:
             # dynamic partition overwrite scoped to THIS batch id:
-            # replay-idempotent without rewriting other batches
+            # replay-idempotent without rewriting other batches. File
+            # count scales with pair volume: pairs end on the candidate
+            # groupBy's shuffle, which AQE post-shuffle coalescing sizes
+            # by bytes — a tiny batch writes one file, a giant one
+            # fans out, and no single task is ever the write funnel
             (pairs.withColumn("batch_id", F.lit(batch_id))
-             .repartition(1)
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id").parquet(pairs_sink))

@@ -179,9 +179,8 @@ def test_cli_run_response_document(spark, tmp_path, capsys):
     from tdr_draft_metadata_validator_spark import __version__
     assert doc == {
         "consignmentId": "c-123",
-        "runId": "rr1",
         "validationStatus": "success",
-        "engineVersion": __version__,
+        "metadataSchemaLibraryVersion": __version__,
         "error": "",
     }
 
@@ -201,8 +200,27 @@ def test_cli_run_response_document(spark, tmp_path, capsys):
     assert rc2 == 1
     doc2 = json.load(open(f"{out2}/run-response.json"))
     assert doc2["validationStatus"] == "failure"
-    assert doc2["error"] == "UTF_8"
-    assert doc2["engineVersion"] == __version__
+    # ordinary validation failure: error stays EMPTY (the fileError is
+    # in error-file.json) — Lambda.scala:96-103's responseData default;
+    # only the unexpected-exception handler populates it
+    assert doc2["error"] == ""
+    assert doc2["metadataSchemaLibraryVersion"] == __version__
+    assert set(doc2) == {"consignmentId", "validationStatus",
+                         "metadataSchemaLibraryVersion", "error"}
+
+    # unexpected exception (unreadable table): handleErrorWith analog —
+    # status failure WITH the error message populated
+    out3 = str(tmp_path / "out_boom")
+    rc3 = cli.main([
+        "--table", str(tmp_path / "no-such-table.parquet"),
+        "--output", out3, "--run-id", "rr3", "--consignment-id", "c-123",
+        "--no-audio", "--partitions", "4",
+    ])
+    capsys.readouterr()
+    assert rc3 == 1
+    doc3 = json.load(open(f"{out3}/run-response.json"))
+    assert doc3["validationStatus"] == "failure"
+    assert doc3["error"] != ""
 
 
 def test_cli_dedup_store_stats_requires_store():

@@ -23,19 +23,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _write_run_response(output: str, consignment_id: str, run_id: str,
-                        status: str, error: str, engine_version: str) -> dict:
-    """The reference's run-response document — {consignmentId,
-    validationStatus, metadataSchemaLibraryVersion, error}
-    (Lambda.scala:96-103; version via DependencyVersionReader.scala:8-13)
-    — emitted as {output}/run-response.json next to the error file."""
+VERSION_READ_FAILURE = "failed to read engine version"
+
+
+def _write_run_response(output: str, consignment_id: str,
+                        status: str, error: str = "") -> dict:
+    """The reference's run-response document, key-for-key —
+    {consignmentId, validationStatus, metadataSchemaLibraryVersion,
+    error} (Lambda.scala:96-103; version via
+    DependencyVersionReader.scala:8-13) — emitted as
+    {output}/run-response.json next to the error file.
+
+    ``error`` semantics match the reference: EMPTY on every ordinary
+    run, including validation failures (those are reported through the
+    error file / validationStatus); populated only by the
+    unexpected-exception handler (Lambda.scala:87-91 handleErrorWith).
+    The engine's version stands in for the schema-library version — it
+    IS this engine's rule-set version."""
+    try:
+        from tdr_draft_metadata_validator_spark import __version__ as version
+    except Exception:  # DependencyVersionReader getOrElse analog
+        version = VERSION_READ_FAILURE
     doc = {
         "consignmentId": consignment_id,
-        "runId": run_id,
         "validationStatus": status,
-        "engineVersion": engine_version,
+        "metadataSchemaLibraryVersion": version,
         "error": error,
     }
+    os.makedirs(output, exist_ok=True)
     with open(os.path.join(output, "run-response.json"), "w") as fh:
         json.dump(doc, fh, indent=2)
         fh.write("\n")
@@ -119,7 +134,25 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.dedup_store_stats and not args.near_dedup_store:
         p.error("--dedup-store-stats requires --near-dedup-store")
+    try:
+        return _run(args)
+    except Exception as exc:
+        # the reference's handleErrorWith (Lambda.scala:87-91): an
+        # UNEXPECTED exception — not a validation verdict — is the one
+        # case that populates the run response's `error` field
+        import traceback
 
+        traceback.print_exc()
+        try:
+            _write_run_response(
+                args.output, args.consignment_id, "failure", str(exc)
+            )
+        except OSError:
+            pass
+        return 1
+
+
+def _run(args):
     from tdr_draft_metadata_validator_spark import __version__ as engine_version
     from tdr_draft_metadata_validator_spark.models import FileError, ValidationParameters
     from tdr_draft_metadata_validator_spark.operators.merge import (
@@ -320,10 +353,10 @@ def main(argv=None):
     if gate_result is not None:
         with open(doc_path, "w") as fh:
             fh.write(gate_result.error_file().to_json() + "\n")
-        _write_run_response(
-            args.output, args.consignment_id, args.run_id, "failure",
-            gate_result.file_error.value, engine_version,
-        )
+        # gate failure is an ORDINARY validation failure: error stays
+        # empty (the fileError lives in error-file.json), matching the
+        # reference's responseData default
+        _write_run_response(args.output, args.consignment_id, "failure")
         print(json.dumps({
             "run_id": args.run_id,
             "status": "failure",
@@ -419,25 +452,34 @@ def main(argv=None):
             pairs.write.mode("overwrite").parquet(
                 os.path.join(args.output, "near_dup_pairs")
             )
-            if args.delta_mode == "changed":
-                # a CHANGED clip's old buckets describe superseded text —
-                # tombstone them in the same run that appends the new
-                # ones, or later deltas draw phantom candidates (the
-                # candidate join above ran against the OLD text on
-                # purpose: that is the store state this delta dedups
-                # against)
-                retire_signatures(
-                    spark, args.near_dedup_store, clips.select("clip_id")
-                )
-            if removed_keys is not None and not removed_keys.isEmpty():
-                # removed clips stop matching NOW, not at the next
-                # compaction (which applies tombstones physically)
-                retire_signatures(spark, args.near_dedup_store, removed_keys)
-            append_signatures(
+            # APPEND first, tombstone after (crash-safe order): a crash
+            # between the two leaves both generations of a changed
+            # clip's buckets alive — phantom candidates against the
+            # superseded text until the delta re-runs (widening,
+            # recoverable) — instead of permanently dropping the clips
+            # from the store (old buckets tombstoned, new never
+            # appended: later deltas would silently miss candidates).
+            # The candidate join above already ran against the OLD
+            # store state (pairs were materialized before this point).
+            new_bid = append_signatures(
                 clips, args.near_dedup_store, id_col="clip_id",
                 text_col="transcript",
                 **{k: params[k] for k in ("num_hashes", "bands", "n", "lane")},
             )
+            if args.delta_mode == "changed":
+                # a CHANGED clip's old buckets describe superseded text —
+                # tombstone them scoped BELOW the batch just appended so
+                # the new generation stays alive
+                retire_signatures(
+                    spark, args.near_dedup_store, clips.select("clip_id"),
+                    max_batch_id=new_bid - 1 if new_bid else None,
+                )
+            if removed_keys is not None and not removed_keys.isEmpty():
+                # removed clips stop matching NOW, not at the next
+                # compaction (which applies tombstones physically);
+                # removed keys are not in the delta, so the default
+                # (current-manifest) scope is safe
+                retire_signatures(spark, args.near_dedup_store, removed_keys)
             print(f"near-dedup: delta candidates written; delta signatures "
                   f"appended to {args.near_dedup_store}", file=sys.stderr)
             if args.compact_dedup_store:
@@ -471,9 +513,8 @@ def main(argv=None):
 
     passed = overall_error == FileError.NONE
     _write_run_response(
-        args.output, args.consignment_id, args.run_id,
+        args.output, args.consignment_id,
         "success" if passed else "failure",
-        "" if passed else overall_error.value, engine_version,
     )
     print(json.dumps({
         "run_id": args.run_id,
