@@ -36,12 +36,17 @@ BENCH_QUERIES = [
     "missing_rows", "unknown_rows", "duplicate_rows", "merge_semigroup",
     "rule_multi", "column_stats", "partition_metrics", "groupby_agg",
     "topk_per_group", "dedup_exact", "fingerprint", "jaccard_pairs",
-    "minhash_lsh_candidates", "simhash", "ann_topk",
+    # r6: "simhash" lane became the chained "simhash_pairs" (fingerprints
+    # computed once + pair join — strictly MORE work than the old
+    # fingerprint-only lane; don't read the rename as a regression)
+    "minhash_lsh_candidates", "simhash_pairs", "ann_topk",
     "protected_fields", "persist_unpivot", "embedding_lsh_near_dups",
     "ivf_topk", "range_join", "near_dup_components", "hash_split",
     # round-5: PQ ADC search (32x-compressed codes + exact re-rank) and
-    # the composed IVFADC layout (probe-pruned scan + residual codes)
-    "pq_topk", "ivfpq_topk",
+    # the composed IVFADC layout (probe-pruned scan + residual codes).
+    # r6: pq_topk/ivfpq_topk are now the seeded-codebook ORACLE rows
+    # (pure ADC); the trained production variants keep their own lanes.
+    "pq_topk", "ivfpq_topk", "pq_topk_trained", "ivfpq_topk_trained",
     # round-3 additions
     "near_dup_components_star", "grouping_sets", "redact_pii", "extract_domains",
     "pack_sequences", "stratified_sample",

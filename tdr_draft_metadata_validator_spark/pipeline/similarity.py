@@ -442,15 +442,47 @@ def _train_books(x: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.nda
 
 
 def _pq_codes_np(x: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """(n, dim) float32 -> (n, m) uint8 codes (vectorized per subspace)."""
+    """(n, dim) -> (n, m) uint8 codes (vectorized per subspace).
+
+    float64 + the DIRECT squared-distance formula (not the
+    ||x||^2 - 2x.c + ||c||^2 expansion): the encode is then bit-stable
+    against an independent double-precision replica (the DuckDB oracle
+    computes the same per-term (x_i - c_i)^2 sums), so an argmin can
+    only diverge on a mathematical near-tie at ~1e-15 — measure zero
+    for real data — instead of the ~1e-7 float32 window that would
+    make the external correctness gate flaky."""
+    x = np.asarray(x, dtype=np.float64)
+    books = np.asarray(books, dtype=np.float64)
     m, k, dsub = books.shape
     out = np.empty((x.shape[0], m), dtype=np.uint8)
     for sub in range(m):
         xs = x[:, sub * dsub:(sub + 1) * dsub]
-        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
-        d = xs @ books[sub].T * (-2.0) + (books[sub] ** 2).sum(axis=1)[None, :]
+        d = ((xs[:, None, :] - books[sub][None, :, :]) ** 2).sum(-1)
         out[:, sub] = d.argmin(axis=1)
     return out
+
+
+def pq_seeded_books(dim: int, m: int, k: int, seed: int = 11,
+                    scale: float | None = None) -> np.ndarray:
+    """Deterministic data-independent PQ codebooks -> (m, k, dim/m)
+    float64, entries rounded to 6 decimals so they embed as SHORT exact
+    plan literals on both sides of the correctness gate (a decimal
+    literal parses to the same IEEE double in Spark and DuckDB).
+
+    Production trains codebooks (:func:`pq_train` — offline, on a
+    sample); seeded books are the cold-start / externally-replicable
+    variant: components ~ N(0, scale^2) with scale defaulting to
+    1/sqrt(dim), the component scale of an L2-normalized vector, so
+    codes quantize sensibly even untrained. Same spirit as
+    :func:`ivf_centroids` above."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k > 256:
+        raise ValueError(f"k={k} > 256 would overflow uint8 codes")
+    rng = np.random.RandomState(seed)
+    s = scale if scale is not None else 1.0 / np.sqrt(dim)
+    books = rng.standard_normal((m, k, dim // m)) * s
+    return np.round(books, 6)
 
 
 def pq_encode(
@@ -463,7 +495,7 @@ def pq_encode(
     """-> (id, codes array<int>): the distributed encode pass — one
     Arrow mapInPandas projection, codebooks in the task closure (KBs).
     Codes are m small ints per vector: the 10^12-row index payload."""
-    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
     dim = books.shape[0] * books.shape[2]
 
     def run(batches):
@@ -472,7 +504,7 @@ def pq_encode(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array([np.asarray(v, dtype=np.float32) for v in pdf["v"]])
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             if x.ndim != 2 or x.shape[1] != dim:
                 raise ValueError(
                     f"vector dim {x.shape[1:]} != codebook dim {dim}")
@@ -518,7 +550,7 @@ def pq_topk(
     candidates per query with EXACT cosine — the standard ADC+re-rank
     deployment: PQ recall comes from the candidate pool, exactness from
     the tiny re-rank join."""
-    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, kk, dsub = books.shape
     q_rows = _collect_queries(queries, q_id_col, q_vec_col, m * dsub,
                               normalize)
@@ -566,7 +598,7 @@ def _collect_queries(
         raise ValueError("no query vectors")
     out = []
     for r in q_rows:
-        qv = np.asarray(r["qv"], dtype=np.float32)
+        qv = np.asarray(r["qv"], dtype=np.float64)
         if qv.shape != (dim,):
             raise ValueError(
                 f"query dim {qv.shape} != codebook dim {dim}")
@@ -581,7 +613,7 @@ def _adc_lut(books: np.ndarray, qv: np.ndarray) -> np.ndarray:
     """(m, k) table of per-subspace squared distances from ``qv`` to
     every code — the ADC lookup table (shared pq_topk/ivfpq_topk)."""
     m, kk, dsub = books.shape
-    lut = np.empty((m, kk), dtype=np.float32)
+    lut = np.empty((m, kk), dtype=np.float64)
     for sub in range(m):
         diff = books[sub] - qv[sub * dsub:(sub + 1) * dsub][None, :]
         lut[sub] = (diff ** 2).sum(axis=1)
@@ -676,7 +708,10 @@ def _exact_rerank(
 
 
 def _ivf_cents_np(dim: int, n_centroids: int, seed: int) -> np.ndarray:
-    return np.array(ivf_centroids(dim, n_centroids, seed), dtype=np.float32)
+    # float64 of the SAME python floats ivf_topk embeds as plan
+    # literals — the numpy coarse quantizer and the Spark/SQL one then
+    # agree to ~1e-15, not the 1e-7 a float32 round would leave
+    return np.array(ivf_centroids(dim, n_centroids, seed), dtype=np.float64)
 
 
 def ivfpq_train(
@@ -726,7 +761,7 @@ def ivfpq_encode(
     + residual PQ encode. Write this out partitioned by ``centroid``:
     the search's probe filter then prunes files, which is the IVF scan
     win at 10^12 rows."""
-    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
     dim = books.shape[0] * books.shape[2]
     cents = _ivf_cents_np(dim, n_centroids, cent_seed)
 
@@ -736,7 +771,7 @@ def ivfpq_encode(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array([np.asarray(v, dtype=np.float32) for v in pdf["v"]])
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             if x.ndim != 2 or x.shape[1] != dim:
                 raise ValueError(
                     f"vector dim {x.shape[1:]} != codebook dim {dim}")
@@ -787,7 +822,7 @@ def ivfpq_topk(
     the task closure (nq x n_probe x m x k floats — queries are few by
     contract). ``rerank=R`` (needs ``emb``) re-scores the top R per
     query with exact cosine, as in :func:`pq_topk`."""
-    books = np.ascontiguousarray(codebooks, dtype=np.float32)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, kk, dsub = books.shape
     dim = m * dsub
     cents = _ivf_cents_np(dim, n_centroids, cent_seed)

@@ -1535,8 +1535,10 @@ def test_pq_train_encode_deterministic_and_numpy_exact(spark):
 
     codes = {r["id"]: r["codes"]
              for r in sim.pq_encode(emb, b1).collect()}
-    # numpy reference on the same normalized vectors
-    x = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    # numpy reference on the same normalized vectors (float64, like the
+    # encode pass — oracle-replicable double math end to end)
+    x = vecs.astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
     ref = sim._pq_codes_np(x, b1)
     for i in range(300):
         assert codes[str(i)] == ref[i].tolist()
@@ -1630,7 +1632,8 @@ def test_ivfpq_train_encode_residual_parity(spark):
 
     got = {r["id"]: (r["centroid"], r["codes"])
            for r in sim.ivfpq_encode(emb, b1, n_centroids=8).collect()}
-    x = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    x = vecs.astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = sim._ivf_cents_np(16, 8, 7)
     assign = (x @ cents.T).argmax(axis=1)
     ref = sim._pq_codes_np(x - cents[assign], b1)
