@@ -1,26 +1,31 @@
-"""Pure-numpy FLAC encode/decode — subset: 16-bit mono, no LPC.
+"""Pure-numpy FLAC encode/decode — 16-bit, mono + stereo, LPC included.
 
 The decode-invariant gate (north_rule; reference analog: the byte-level
 UTF-8 gate, Lambda.scala:130-153) previously exercised ``codec='flac'``
 through a WAV-delegating stub whenever libsndfile was absent — so the
 SNR>=30dB invariant had never run against genuinely FLAC-framed bytes in
 this image, and a mislabeled RIFF payload would "decode" fine. This
-module closes that gap with a real (subset) FLAC implementation built
-only from the public format specification (RFC 9639 / xiph.org FLAC
-format document):
+module closes that gap with a real FLAC implementation built only from
+the public format specification (RFC 9639 / xiph.org FLAC format
+document):
 
 - **decode_flac**: ``fLaC`` magic, metadata blocks (STREAMINFO parsed,
   others skipped), frame headers (sync, blocksize/sample-rate/channel/
   sample-size codes, UTF-8-coded frame number, CRC-8), subframes
-  CONSTANT / VERBATIM / FIXED(order 0-4, Rice-coded residuals,
-  4- and 5-bit parameters, escape partitions), frame CRC-16.
-  Unsupported-by-subset constructs (LPC subframes, multi-channel,
-  bps != 16, wasted bits) raise ``ValueError`` — the decode gate turns
-  that into a violation row, exactly like structural corruption.
+  CONSTANT / VERBATIM / FIXED(order 0-4) / LPC(order 1-32, r6 — real
+  encoders emit LPC almost always, so refusing it false-positived on
+  valid files), Rice-coded residuals (4- and 5-bit parameters, escape
+  partitions), wasted bits, channel layouts independent 1-8 and
+  left-side / right-side / mid-side decorrelated stereo (r6), frame
+  CRC-16. The one remaining subset restriction is bps=16 — pinned by
+  the validator's int16 PCM invariant contract (input_hint), not an
+  implementation gap; a non-16-bit stream raises ``ValueError`` like
+  structural corruption and becomes a violation row.
 - **encode_flac**: fixed-blocksize streams with VERBATIM subframes (the
-  fast path datagen uses — real, spec-valid FLAC any decoder accepts)
-  or FIXED-predictor Rice-coded subframes (real compression; used by
-  tests to exercise the residual path).
+  fast path datagen uses — real, spec-valid FLAC any decoder accepts),
+  FIXED-predictor Rice-coded subframes, or Levinson-Durbin LPC
+  subframes (r6 — exercises the LPC decode path); mono or stereo in
+  any of the four channel layouts. All lossless.
 
 Throughput note (the gate decodes EVERY clip, stage 1 of
 operators/audio.py): VERBATIM 16-bit subframes start byte-aligned, so
@@ -187,6 +192,14 @@ class _BitWriter:
         if self._n:
             self.write(0, 8 - self._n)
 
+    @property
+    def aligned(self) -> bool:
+        return self._n == 0
+
+    def extend_aligned(self, data: bytes) -> None:
+        assert self._n == 0, "extend_aligned on unaligned writer"
+        self._out += data
+
     def getvalue(self) -> bytes:
         assert self._n == 0, "unaligned bit writer"
         return bytes(self._out)
@@ -306,27 +319,21 @@ _FIXED_COEFFS = {
 }
 
 
-def _frame_header(frame_index: int, blocksize: int) -> bytes:
+def _frame_header(frame_index: int, blocksize: int, chan_code: int = 0) -> bytes:
     # sync(14)=0b11111111111110, reserved(1)=0, blocking(1)=0 (fixed);
     # blocksize code 0b0111 (16-bit value-1 follows the coded number),
-    # sample-rate code 0b0000 (get from STREAMINFO); channel 0b0000
-    # (mono), sample size 0b100 (16 bit), reserved 0.
-    hdr = bytearray([0xFF, 0xF8, 0x70, 0x08])
+    # sample-rate code 0b0000 (get from STREAMINFO); channel code 0-10
+    # (0=mono, 1=L/R, 8/9/10=decorrelated stereo), sample size 0b100
+    # (16 bit), reserved 0.
+    hdr = bytearray([0xFF, 0xF8, 0x70, (chan_code << 4) | 0x08])
     hdr += _utf8_encode(frame_index)
     hdr += struct.pack(">H", blocksize - 1)
     hdr.append(crc8(hdr))
     return bytes(hdr)
 
 
-def _encode_fixed_subframe(block: np.ndarray, order: int) -> bytes:
-    bw = _BitWriter()
-    bw.write(((0x08 | order) << 1), 8)  # 001xxx fixed, wasted-bits flag 0
-    x = block.astype(np.int64)
-    for i in range(order):
-        bw.write(int(x[i]), 16)
-    res = x
-    for _ in range(order):
-        res = np.diff(res)
+def _write_rice_residual(bw: _BitWriter, res: np.ndarray) -> None:
+    # one partition (order 0), 4-bit parameter chosen from the zig-zag mean
     u = np.where(res >= 0, res << 1, (-res << 1) - 1).astype(np.int64)
     mean = float(u.mean()) if u.size else 0.0
     param = min(14, max(0, int(mean).bit_length() - 1)) if mean >= 1 else 0
@@ -337,8 +344,95 @@ def _encode_fixed_subframe(block: np.ndarray, order: int) -> bytes:
         bw.write_unary(v >> param)
         if param:
             bw.write(v & ((1 << param) - 1), param)
-    bw.align()
-    return bw.getvalue()
+
+
+def _encode_fixed_subframe(bw: _BitWriter, block: np.ndarray, order: int,
+                           eff: int = 16) -> None:
+    # subframes are bit-packed CONTIGUOUSLY within a frame (no per-
+    # subframe alignment — only the frame end pads), so every encoder
+    # writes into the caller's _BitWriter
+    bw.write(((0x08 | order) << 1), 8)  # 001xxx fixed, wasted-bits flag 0
+    x = block.astype(np.int64)
+    for i in range(order):
+        bw.write(int(x[i]), eff)
+    res = x
+    for _ in range(order):
+        res = np.diff(res)
+    _write_rice_residual(bw, res)
+
+
+def _encode_lpc_subframe(
+    bw: _BitWriter, block: np.ndarray, order: int, eff: int = 16,
+    precision: int = 14
+) -> None:
+    """LPC subframe (RFC 9639 §9.2.4): Levinson-Durbin coefficients from
+    the block's autocorrelation, quantized to ``precision`` bits with
+    the largest shift that fits. Lossless for ANY quantization — the
+    residual is computed with the exact integer prediction the decoder
+    reverses (``(sum c_j * x_{i-1-j}) >> shift``); coefficient quality
+    only affects compression ratio."""
+    x = block.astype(np.int64)
+    n = x.size
+    if n <= order or order < 1 or order > 32:
+        raise ValueError(f"LPC order {order} invalid for block of {n}")
+    xf = x.astype(np.float64)
+    r = np.array([np.dot(xf[: n - lag], xf[lag:]) for lag in range(order + 1)])
+    if r[0] == 0.0:  # silent block: no signal to predict, FIXED-0 it
+        return _encode_fixed_subframe(bw, block, 0, eff)
+    # Levinson-Durbin recursion
+    a = np.zeros(order + 1)
+    a[0], err = 1.0, r[0]
+    for i in range(1, order + 1):
+        acc = r[i] + np.dot(a[1:i], r[1:i][::-1])
+        k = -acc / err
+        # new_a[j] = a[j] + k * a[i-j] for j=1..i (a[i] starts 0 -> k)
+        a[1:i + 1] = a[1:i + 1] + k * a[0:i][::-1]
+        err *= 1.0 - k * k
+        if err <= 0:  # perfectly predictable within float precision
+            break
+    coefs = -a[1:order + 1]  # prediction x[i] ~= sum coefs[j] * x[i-1-j]
+    cmax = float(np.max(np.abs(coefs))) or 1.0
+    lim = (1 << (precision - 1)) - 1
+    shift = 0
+    while shift < 15 and cmax * (1 << (shift + 1)) <= lim:
+        shift += 1
+    q = np.clip(np.round(coefs * (1 << shift)), -lim - 1, lim).astype(np.int64)
+    # exact integer prediction over the ORIGINAL samples (the decoder
+    # reconstructs them exactly, so feeding x not x-hat stays lossless)
+    win = np.lib.stride_tricks.sliding_window_view(x, order)[:-1]
+    pred = (win @ q[::-1]) >> shift
+    res = x[order:] - pred
+    bw.write(((0x20 | (order - 1)) << 1), 8)  # 1xxxxx lpc, wasted flag 0
+    for i in range(order):
+        bw.write(int(x[i]), eff)
+    bw.write(precision - 1, 4)
+    bw.write(shift, 5)
+    for c in q.tolist():
+        bw.write(c, precision)
+    _write_rice_residual(bw, res)
+
+
+_STEREO_CODES = {"independent": 1, "left_side": 8, "right_side": 9,
+                 "mid_side": 10}
+
+
+def _encode_channel(bw: _BitWriter, block: np.ndarray, subframe: str,
+                    fixed_order: int, lpc_order: int, eff: int) -> None:
+    if subframe == "verbatim":
+        bw.write(0x02, 8)
+        if eff == 16 and bw.aligned:
+            # byte-aligned int16 fast path (mono, or the first channel
+            # of a stereo frame): raw big-endian append
+            bw.extend_aligned(block.astype(">i2").tobytes())
+        else:
+            for v in block.astype(np.int64).tolist():
+                bw.write(v, eff)
+    elif subframe == "lpc" and block.shape[0] > lpc_order:
+        _encode_lpc_subframe(bw, block, lpc_order, eff)
+    else:
+        # fixed — also the tail-block fallback for lpc mode
+        order = min(fixed_order, max(0, block.shape[0] - 1))
+        _encode_fixed_subframe(bw, block, order, eff)
 
 
 def encode_flac(
@@ -347,14 +441,24 @@ def encode_flac(
     blocksize: int = 4080,
     subframe: str = "verbatim",
     fixed_order: int = 2,
+    lpc_order: int = 8,
+    stereo_mode: str = "mid_side",
 ) -> bytes:
-    """Encode int16 mono samples as a real, spec-valid FLAC stream.
+    """Encode int16 samples — mono ``(n,)`` or stereo ``(n, 2)`` — as a
+    real, spec-valid FLAC stream.
 
     ``subframe="verbatim"`` is lossless and FAST on both sides (sample
     payloads stay byte-aligned big-endian int16; datagen's choice);
     ``subframe="fixed"`` emits FIXED-predictor subframes with Rice-coded
-    residuals (real compression — tests use it to exercise the residual
-    decode path). Both are lossless: decode -> bit-identical PCM.
+    residuals; ``subframe="lpc"`` (r6) emits order-``lpc_order``
+    Levinson-Durbin LPC subframes — what real encoders produce, used to
+    exercise the LPC decode path. All are lossless: decode ->
+    bit-identical PCM.
+
+    Stereo (r6): ``stereo_mode`` picks the channel layout —
+    ``independent`` (L, R subframes) or the decorrelated ``mid_side`` /
+    ``left_side`` / ``right_side`` pairs (RFC 9639 §9.1; the side
+    channel carries 17-bit samples).
 
     Default blocksize 4080 (not the conventional 4096): a verbatim
     frame is 2*blocksize + ~15 header/CRC bytes, and :func:`crc16_many`
@@ -367,12 +471,21 @@ def encode_flac(
     # external decoder rejects (RFC 9639 pins the spec max at 65535)
     if not 16 <= blocksize <= 65535:
         raise ValueError(f"blocksize {blocksize} out of range")
-    if subframe not in ("verbatim", "fixed"):
+    if subframe not in ("verbatim", "fixed", "lpc"):
         raise ValueError(f"unknown subframe mode {subframe!r}")
     if not 0 <= fixed_order <= 4:
         raise ValueError(f"fixed order {fixed_order} out of range")
+    if not 1 <= lpc_order <= 32:
+        raise ValueError(f"lpc order {lpc_order} out of range")
     x = np.ascontiguousarray(np.asarray(samples, dtype=np.int16))
-    n = x.size
+    if x.ndim == 2 and x.shape[1] == 1:
+        x = x[:, 0]
+    stereo = x.ndim == 2
+    if stereo and x.shape[1] != 2:
+        raise ValueError(f"only mono or 2-channel input, got {x.shape}")
+    if stereo and stereo_mode not in _STEREO_CODES:
+        raise ValueError(f"unknown stereo mode {stereo_mode!r}")
+    n = x.shape[0]
 
     si = _BitWriter()
     si.write(blocksize, 16)   # min blocksize
@@ -380,22 +493,36 @@ def encode_flac(
     si.write(0, 24)           # min frame size: unknown
     si.write(0, 24)           # max frame size: unknown
     si.write(sr_hz, 20)
-    si.write(0, 3)            # channels - 1
+    si.write(1 if stereo else 0, 3)  # channels - 1
     si.write(15, 5)           # bits per sample - 1
     si.write(n, 36)
     streaminfo = si.getvalue() + b"\x00" * 16  # MD5 zeros = unknown (spec)
     head = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
+    chan_code = _STEREO_CODES[stereo_mode] if stereo else 0
     frames: list[bytes] = []
     for fi, start in enumerate(range(0, n, blocksize)):
         block = x[start:start + blocksize]
-        hdr = _frame_header(fi, block.size)
-        if subframe == "verbatim":
-            body = b"\x02" + block.astype(">i2").tobytes()
+        hdr = _frame_header(fi, block.shape[0], chan_code)
+        bw = _BitWriter()
+        if not stereo:
+            _encode_channel(bw, block, subframe, fixed_order, lpc_order, 16)
         else:
-            order = min(fixed_order, max(0, block.size - 1))
-            body = _encode_fixed_subframe(block, order)
-        frames.append(hdr + body)
+            left = block[:, 0].astype(np.int64)
+            right = block[:, 1].astype(np.int64)
+            side = left - right
+            if stereo_mode == "independent":
+                chans = [(left, 16), (right, 16)]
+            elif stereo_mode == "left_side":
+                chans = [(left, 16), (side, 17)]
+            elif stereo_mode == "right_side":
+                chans = [(side, 17), (right, 16)]
+            else:  # mid_side
+                chans = [((left + right) >> 1, 16), (side, 17)]
+            for c, eff in chans:
+                _encode_channel(bw, c, subframe, fixed_order, lpc_order, eff)
+        bw.align()
+        frames.append(hdr + bw.getvalue())
     if not frames:  # zero-sample stream: STREAMINFO only, no frames
         return head
     crcs = crc16_many(frames)
@@ -542,9 +669,10 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
 
 
 def _decode_frame(
-    payload: bytes, off: int, sr: int, bps: int
+    payload: bytes, off: int, sr: int, bps: int, channels: int
 ) -> tuple[np.ndarray, int, int]:
-    """-> (samples int64, end offset past CRC-16, frame start offset).
+    """-> (samples int64 — 1-D mono / (blocksize, ch) multichannel —,
+    end offset past CRC-16, frame start offset).
     CRC-16 is NOT verified here — the caller batches all frames of the
     stream through one :func:`crc16_many` pass."""
     if off + 5 > len(payload):
@@ -558,8 +686,15 @@ def _decode_frame(
     chan, size_code = b3 >> 4, (b3 >> 1) & 0x7
     if b3 & 1:
         raise ValueError("reserved frame header bit set")
-    if chan != 0:
-        raise ValueError(f"unsupported layout ch={chan + 1}")
+    if chan <= 7:
+        nch = chan + 1  # independent channels
+    elif chan in (8, 9, 10):
+        nch = 2  # left/side, right/side, mid/side (RFC 9639 §9.1)
+    else:
+        raise ValueError(f"reserved channel assignment {chan}")
+    if nch != channels:
+        raise ValueError(
+            f"frame channel count {nch} != STREAMINFO {channels}")
     if size_code == 0:
         frame_bps = bps
     elif size_code == 4:
@@ -612,7 +747,24 @@ def _decode_frame(
         raise ValueError("frame header CRC-8 mismatch")
     pos += 1
     br = _BitReader(payload, pos)
-    samples = _decode_subframe(br, blocksize, frame_bps)
+    if chan <= 7:
+        subs = [_decode_subframe(br, blocksize, frame_bps)
+                for _ in range(nch)]
+        samples = subs[0] if nch == 1 else np.stack(subs, axis=1)
+    else:
+        # stereo decorrelation: the SIDE channel carries one extra bit
+        # (it holds a difference, range up to 2x the channel range)
+        side_extra = (0, 1) if chan in (8, 10) else (1, 0)
+        ch0 = _decode_subframe(br, blocksize, frame_bps + side_extra[0])
+        ch1 = _decode_subframe(br, blocksize, frame_bps + side_extra[1])
+        if chan == 8:      # left/side: L, S=L-R
+            left, right = ch0, ch0 - ch1
+        elif chan == 9:    # right/side: S=L-R, R
+            left, right = ch1 + ch0, ch1
+        else:              # mid/side: M=(L+R)>>1, S=L-R
+            m2 = (ch0 << 1) | (ch1 & 1)  # restore the dropped low bit
+            left, right = (m2 + ch1) >> 1, (m2 - ch1) >> 1
+        samples = np.stack([left, right], axis=1)
     br.align()
     end = br.byte_pos
     if end + 2 > len(payload):
@@ -621,10 +773,15 @@ def _decode_frame(
 
 
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a FLAC stream (subset: mono, 16-bit, CONSTANT/VERBATIM/
-    FIXED subframes) -> (sr_hz, int16 samples). Any structural
-    corruption or out-of-subset construct raises ``ValueError`` — the
-    decode gate maps that to a violation row, never a crash."""
+    """Decode a FLAC stream -> (sr_hz, int16 samples): 1-D for mono,
+    (n, channels) for multichannel. 16-bit; subframes CONSTANT /
+    VERBATIM / FIXED / LPC; channel layouts independent 1-8 and
+    left-side / right-side / mid-side decorrelated stereo (r6 — real
+    encoders emit LPC + decorrelated stereo almost always, so refusing
+    them false-positived on valid data; RFC 9639 §9.1/§9.2.4). Any
+    structural corruption or remaining out-of-subset construct
+    (bps != 16) raises ``ValueError`` — the decode gate maps that to a
+    violation row, never a crash."""
     if payload is None or len(payload) < 4 + 4 + 34:
         raise ValueError("payload too short for FLAC stream")
     if payload[0:4] != b"fLaC":
@@ -650,7 +807,7 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         off += 4 + blen
     if sr is None:
         raise ValueError("missing STREAMINFO block")
-    if channels != 1:
+    if not 1 <= channels <= 8:
         raise ValueError(f"unsupported layout ch={channels}")
     if bps != 16:
         raise ValueError(f"unsupported bits-per-sample {bps}")
@@ -660,14 +817,14 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
     got = 0
     while off < len(payload) and (total == 0 or got < total):
         try:
-            samples, end, start = _decode_frame(payload, off, sr, bps)
+            samples, end, start = _decode_frame(payload, off, sr, bps, channels)
         except (IndexError, struct.error, OverflowError) as exc:
             # malformed bytes must surface as ValueError — the decode
             # gate's contract (violation row, never a job crash)
             raise ValueError(f"malformed FLAC frame: {exc}") from exc
         frame_spans.append((start, end - 2))
         chunks.append(samples)
-        got += samples.size
+        got += samples.shape[0]  # per-channel (interchannel) count
         off = end
     if total and got != total:
         raise ValueError(f"decoded {got} samples, STREAMINFO says {total}")

@@ -39,7 +39,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from ..functions.audio_codec import decode, snr_db
+from ..functions.audio_codec import decode, snr_db, to_mono
 from ..messages import resolve
 from ..models import PROCESS_AUDIO
 from .relational import choose_join_side
@@ -79,6 +79,11 @@ def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 continue
             oks.append(True)
             errs.append(None)
+            # multichannel clips (r6): the reference stores mono ref_pcm,
+            # so the invariant hashes/compares the deterministic mono
+            # downmix — a valid stereo FLAC passes the decode gate and
+            # its invariant is its downmix vs the reference
+            samples = to_mono(samples)
             fps.append(hashlib.md5(np.ascontiguousarray(samples, dtype="<i2").tobytes()).hexdigest())
         yield pd.DataFrame(
             {"clip_id": ids, "decode_ok": oks, "decode_err": errs, "pcm_md5": fps}
@@ -102,7 +107,7 @@ def _snr_check(threshold_db: float):
                 ref_raw = pdf["ref_pcm"].iat[row]
                 if ref_raw is None:
                     continue
-                snr = snr_db(np.frombuffer(ref_raw, dtype="<i2"), samples)
+                snr = snr_db(np.frombuffer(ref_raw, dtype="<i2"), to_mono(samples))
                 if snr < threshold_db:
                     ids.append(pdf["clip_id"].iat[row])
                     keys.append("snrBelowThreshold")

@@ -105,12 +105,17 @@ def test_flac_dispatch_in_both_environments(monkeypatch):
     with _pytest.raises(ValueError):
         ac._decode_soundfile(b"junk")
 
-    # stereo refused (downmix is not the validator's job)
+    # stereo passes through 2-D (r6 — valid stereo is valid audio; the
+    # invariant layer downmixes via to_mono)
     class _StereoSF:
         @staticmethod
         def read(buf, dtype="int16"):
-            return np.zeros((4, 2), dtype=np.int16), 44100
+            return np.array([[2, 4], [-5, -5], [7, 8], [0, 1]],
+                            dtype=np.int16), 44100
 
     monkeypatch.setattr(ac, "_soundfile", _StereoSF)
-    with _pytest.raises(ValueError):
-        ac._decode_soundfile(b"stereo")
+    sr, samples = ac._decode_soundfile(b"stereo")
+    assert samples.shape == (4, 2)
+    # floor-mean downmix, exact in int (negative floors toward -inf)
+    assert ac.to_mono(samples).tolist() == [3, -5, 7, 0]
+    assert ac.to_mono(np.array([1, 2], np.int16)).tolist() == [1, 2]

@@ -255,13 +255,15 @@ def test_star_components_match_union_find(spark, edges, use_star):
 @given(
     st.lists(st.integers(-32768, 32767), min_size=1, max_size=3000),
     st.sampled_from([8000, 16000, 44100]),
-    st.sampled_from(["verbatim", "fixed"]),
+    st.sampled_from(["verbatim", "fixed", "lpc"]),
     st.sampled_from([0, 1, 2, 3]),
 )
 def test_flac_roundtrip_exact(samples, sr, subframe, order):
     """FLAC is lossless by construction: ANY int16 mono signal
-    roundtrips bit-exact through encode_flac -> decode_flac in both
-    verbatim and every fixed-predictor order, across block boundaries
+    roundtrips bit-exact through encode_flac -> decode_flac in
+    verbatim, every fixed-predictor order, and LPC (r6 — losslessness
+    must hold for ANY quantized coefficient set, so arbitrary signals
+    are exactly the adversarial input), across block boundaries
     (blocksize 256 forces multi-frame streams past 256 samples)."""
     from tdr_draft_metadata_validator_spark.functions.flac_codec import (
         decode_flac,
@@ -273,6 +275,32 @@ def test_flac_roundtrip_exact(samples, sr, subframe, order):
                           fixed_order=order)
     sr2, y = decode_flac(payload)
     assert sr2 == sr
+    assert np.array_equal(x, y)
+
+
+@given(
+    st.lists(st.tuples(st.integers(-32768, 32767),
+                       st.integers(-32768, 32767)),
+             min_size=1, max_size=1500),
+    st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    st.sampled_from(["verbatim", "fixed", "lpc"]),
+)
+def test_flac_stereo_roundtrip_exact(pairs, mode, subframe):
+    """r6: ANY int16 stereo signal roundtrips bit-exact through every
+    channel layout x subframe type — the decorrelated layouts'
+    17-bit side channel and the mid channel's dropped low bit must
+    reconstruct exactly at the int16 extremes hypothesis finds."""
+    from tdr_draft_metadata_validator_spark.functions.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.asarray(pairs, dtype=np.int16)
+    payload = encode_flac(x, 16000, blocksize=256, subframe=subframe,
+                          stereo_mode=mode)
+    sr2, y = decode_flac(payload)
+    assert sr2 == 16000
+    assert y.shape == x.shape
     assert np.array_equal(x, y)
 
 
