@@ -416,3 +416,67 @@ def test_streaming_near_dedup_guards(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_pairs_sink_scales_files_and_replays(spark, tmp_path):
+    """Judge r5 task 6 'done' criterion: with the per-batch
+    repartition(1) gone, a pair-heavy micro-batch fans out to MULTIPLE
+    files (AQE post-shuffle coalescing sizes by bytes — no single write
+    funnel), and replaying the batch (fresh checkpoint, same source)
+    dynamic-overwrites its own partition to identical content."""
+    import glob
+    import os
+
+    from tdr_draft_metadata_validator_spark.streaming.validate_stream import (
+        near_dedup_stream,
+    )
+
+    src = str(tmp_path / "in_big")
+    store = str(tmp_path / "big_store")
+    sink = str(tmp_path / "big_pairs")
+    v1 = datagen.clips_batch(np.arange(120))
+    # 8 transcript groups of 15 -> 8 * C(15,2) = 840 candidate pairs
+    for i in range(120):
+        v1.loc[v1.index[i], "transcript"] = f"shared transcript body {i % 8}"
+    datagen.clips_df(spark, v1).write.parquet(src)
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in (
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+    )}
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    try:
+        def run(ck):
+            q, _ = near_dedup_stream(
+                read_clips_stream(spark, src), store,
+                checkpoint_dir=str(tmp_path / ck), pairs_sink=sink,
+                lsh_params={"num_hashes": 16, "bands": 4},
+                append_to_store=False,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            files = glob.glob(os.path.join(sink, "batch_id=0", "*.parquet"))
+            rows = sorted(
+                (r["id_a"], r["id_b"], r["batch_id"])
+                for r in spark.read.parquet(sink).collect()
+            )
+            return files, rows
+
+        files1, rows1 = run("ck_big_1")
+        assert len(files1) > 1, f"single write funnel: {files1}"
+        assert len(rows1) == 8 * (15 * 14 // 2)
+
+        # replay: fresh checkpoint reprocesses the same source as batch 0
+        files2, rows2 = run("ck_big_2")
+        assert rows2 == rows1  # idempotent dynamic overwrite
+        assert len(files2) > 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
