@@ -113,6 +113,21 @@ def test_ivfpq_store_partitions_codes_by_centroid(spark, tmp_path):
     assert _res(ann_store.search(spark, root, queries, k=4, n_probe=3)) == want
 
 
+def test_ivfpq_store_search_plan_file_prunes(spark, tmp_path):
+    """The generational layout preserves the IVFADC scan win: the store
+    search's probe filter lands as physical PartitionFilters on the
+    centroid-partitioned codes scan (files pruned, not just rows)."""
+    root = str(tmp_path / "idx")
+    corpus = _emb(spark, 160, dim=16, seed=9)
+    queries = corpus.where(F.col("vec_id") < 1)
+    ann_store.init_index(corpus, root, kind="ivfpq", dim=16, n_centroids=8,
+                         m=4, k=8, sample_n=128, iters=3)
+    df = ann_store.search(spark, root, queries, k=3, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("centroid" in ln for ln in scan), plan[:2000]
+
+
 def test_refusals_and_locking(spark, tmp_path):
     root = str(tmp_path / "idx")
     corpus = _emb(spark, 60, seed=5)
