@@ -18,7 +18,10 @@ resources/sample*.csv, onto the audio-table shape):
 - ``codec``     in {pcm_s16le, flac, opus}: pcm payloads are RIFF,
                  flac payloads are REAL FLAC streams (verbatim frames,
                  functions.flac_codec), opus payloads are RIFF (decoded
-                 by the documented stub; see functions.audio_codec)
+                 by the documented stub; see functions.audio_codec).
+                 Opt-in ``ulaw_every`` adds true-lossy mu-law slots;
+                 ``extended_every`` adds alaw / ima_adpcm / pcm_s24le /
+                 pcm_f32le slots (r6 extended codecs)
 - ``transcript``= 3..20 words from a fixed 64-word lexicon
 
 Distributed generation goes through ``mapInPandas`` over ``spark.range``
@@ -35,7 +38,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions.audio_codec import encode_flac, encode_ulaw, encode_wav_pcm16
+from .functions.audio_codec import (
+    encode_alaw,
+    encode_flac,
+    encode_ulaw,
+    encode_wav_f32,
+    encode_wav_ima_adpcm,
+    encode_wav_pcm16,
+    encode_wav_pcm24,
+)
 from .models import CLIPS_SCHEMA, REF_CLIPS_SCHEMA
 
 SEED = 42
@@ -105,18 +116,34 @@ def file_id_of(i: int) -> str:
 
 # -- pandas builders (driver-side fixtures + executor-side batches) ---------
 
+_EXTENDED_ENCODERS = (
+    ("alaw", encode_alaw),
+    ("ima_adpcm", encode_wav_ima_adpcm),
+    ("pcm_s24le", encode_wav_pcm24),
+    ("pcm_f32le", encode_wav_f32),
+)
+
+
 def clips_batch(indices: np.ndarray, seed: int = SEED,
                 dur_min: int = 200, dur_max: int = 2000,
-                ulaw_every: int | None = None) -> pd.DataFrame:
+                ulaw_every: int | None = None,
+                extended_every: int | None = None) -> pd.DataFrame:
     """``ulaw_every=k`` makes every k-th clip a REAL mu-law payload
     (codec='ulaw', genuinely lossy vs ref_pcm) — exercises the engine's
-    hash-mismatch -> SNR residue path with true lossy data."""
+    hash-mismatch -> SNR residue path with true lossy data.
+    ``extended_every=k`` routes every k-th clip (offset to avoid the
+    ulaw slots) round-robin through the r6 extended codecs
+    (alaw / ima_adpcm / pcm_s24le / pcm_f32le) — two more true-lossy
+    lanes and two lossless alternate containers."""
     rows = []
     for i in map(int, indices):
         pcm = pcm_of(i, seed, dur_min, dur_max)
         sr = sr_of(i, seed)
         if ulaw_every and i % ulaw_every == 0:
             payload, codec = encode_ulaw(pcm, sr), "ulaw"
+        elif extended_every and i % extended_every == 1:
+            codec, enc = _EXTENDED_ENCODERS[(i // extended_every) % 4]
+            payload = enc(pcm, sr)
         else:
             codec = codec_of(i, seed)
             if codec == "flac":
@@ -142,14 +169,31 @@ def clips_batch(indices: np.ndarray, seed: int = SEED,
 
 
 def ref_batch(indices: np.ndarray, seed: int = SEED,
-              dur_min: int = 200, dur_max: int = 2000) -> pd.DataFrame:
+              dur_min: int = 200, dur_max: int = 2000,
+              extended_every: int | None = None) -> pd.DataFrame:
+    """Reference rows. With ``extended_every`` matching the clips table,
+    the ima_adpcm slots store the DECODE of the ADPCM master as ref_pcm:
+    4-bit ADPCM of half-scale tonal content measures 14-28 dB SNR vs the
+    original — below the 30 dB invariant by the codec's own physics — so
+    the realistic clean-table semantics are "the archive's canonical PCM
+    was produced from the same ADPCM master" (bit-exact invariant, fast
+    hash path). alaw/pcm_s24le/pcm_f32le slots keep the original
+    reference (alaw clears 30 dB; the other two are lossless)."""
+    from .functions.audio_codec import decode_wav_ima_adpcm
+
     rows = []
     for i in map(int, indices):
+        pcm = pcm_of(i, seed, dur_min, dur_max)
+        if (extended_every and i % extended_every == 1
+                and _EXTENDED_ENCODERS[(i // extended_every) % 4][0] == "ima_adpcm"):
+            pcm = decode_wav_ima_adpcm(
+                encode_wav_ima_adpcm(pcm, sr_of(i, seed))
+            )[1]
         rows.append(
             (
                 clip_id_of(i),
                 file_id_of(i),
-                pcm_of(i, seed, dur_min, dur_max).tobytes(),
+                pcm.tobytes(),
                 transcript_of(i, seed),
                 sr_of(i, seed),
                 dur_of(i, seed, dur_min, dur_max),
@@ -165,27 +209,31 @@ def ref_batch(indices: np.ndarray, seed: int = SEED,
 
 def generate_clips(spark: SparkSession, n: int, seed: int = SEED,
                    partitions: int | None = None,
-                   dur_min: int = 200, dur_max: int = 2000) -> DataFrame:
+                   dur_min: int = 200, dur_max: int = 2000,
+                   extended_every: int | None = None) -> DataFrame:
     """Distributed clips table: executors synthesize their own index ranges."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield clips_batch(pdf["id"].to_numpy(), seed, dur_min, dur_max)
+                yield clips_batch(pdf["id"].to_numpy(), seed, dur_min, dur_max,
+                                  extended_every=extended_every)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, CLIPS_SCHEMA)
 
 
 def generate_ref_clips(spark: SparkSession, n: int, seed: int = SEED,
                        partitions: int | None = None,
-                       dur_min: int = 200, dur_max: int = 2000) -> DataFrame:
+                       dur_min: int = 200, dur_max: int = 2000,
+                       extended_every: int | None = None) -> DataFrame:
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield ref_batch(pdf["id"].to_numpy(), seed, dur_min, dur_max)
+                yield ref_batch(pdf["id"].to_numpy(), seed, dur_min, dur_max,
+                                extended_every=extended_every)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, REF_CLIPS_SCHEMA)
 

@@ -6,21 +6,30 @@ Lambda.scala:257-281) needs to (a) decode ``bytes`` under the declared
 ``codec`` and (b) compare decoded PCM against a reference PCM with an
 SNR >= 30 dB allclose criterion.
 
-Two codecs are REAL:
+Seven codecs are REAL (pure numpy; every byte of framing parsed here):
 
 - **pcm_s16le** — RIFF/WAVE PCM16, pure byte layout.
+- **pcm_s24le** — RIFF/WAVE PCM 24-bit (fmt 1, bits 24); int16 content
+  rides the top 16 bits, so the roundtrip is lossless (archival WAV
+  masters are commonly 24-bit).
+- **pcm_f32le** — RIFF/WAVE IEEE float32 (wFormatTag 3); int16/32768 is
+  exactly representable, lossless roundtrip.
 - **ulaw** — G.711-style mu-law companding (mu=255, 8-bit codes) in a
   minimal container. Genuinely LOSSY: decoded PCM differs from the
   original, so these payloads exercise the engine's hash-mismatch ->
   sample-level-SNR residue path for real (quantization SNR ~35-40 dB on
   sine/speech-like signals — above the 30 dB threshold, below bit-exact).
-
-- **flac** — decoded by the pure-numpy subset decoder in
-  :mod:`.flac_codec` (16-bit mono; CONSTANT/VERBATIM/FIXED subframes,
-  Rice residuals, CRC-8/CRC-16 verified) — REAL FLAC framing, so a
-  mislabeled RIFF payload now refuses instead of optimistically
-  decoding. When ``soundfile`` (libsndfile) is importable it takes
-  precedence (full-spec coverage incl. LPC); absent in this image.
+- **alaw** — bit-exact ITU-T G.711 A-law (segmented chords, XOR 0x55
+  wire format, table-midpoint expansion). Lossy like ulaw.
+- **ima_adpcm** — DVI/IMA 4-bit adaptive-delta PCM in a REAL WAV
+  container (wFormatTag 0x11, block-framed with predictor/step-index
+  headers + fact chunk). Lossy; decode/encode vectorize ACROSS blocks.
+- **flac** — decoded by the pure-numpy decoder in :mod:`.flac_codec`
+  (16-bit mono/stereo; CONSTANT/VERBATIM/FIXED/LPC subframes, stereo
+  decorrelation, wasted bits, Rice residuals, CRC-8/CRC-16 verified) —
+  REAL FLAC framing, so a mislabeled RIFF payload refuses instead of
+  optimistically decoding. When ``soundfile`` (libsndfile) is importable
+  it takes precedence; absent in this image.
 
 ``opus`` decodes REAL only when ``soundfile`` is importable — the same
 import-try pattern as PIL in image_codec.py; in this container the lib
@@ -42,7 +51,11 @@ try:  # real FLAC/OGG decode when libsndfile is present (not in this image)
 except ImportError:  # pragma: no cover - environment-dependent
     _soundfile = None
 
-CODEC_WHITELIST = ("pcm_s16le", "ulaw", "flac", "opus")
+CODEC_WHITELIST = (
+    "pcm_s16le", "pcm_s24le", "pcm_f32le",
+    "ulaw", "alaw", "ima_adpcm",
+    "flac", "opus",
+)
 
 _RIFF_HEADER = struct.Struct("<4sI4s")
 _FMT_CHUNK = struct.Struct("<4sIHHIIHH")
@@ -103,6 +116,95 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
     raise ValueError("no data chunk found")
 
 
+# -- shared RIFF walker for the non-PCM16 WAV layouts ------------------------
+
+def _walk_wav(payload: bytes) -> tuple[tuple, bytes, int, int]:
+    """Generic RIFF/WAVE walk -> ((fmt fields), fmt_extra, data_off, data_size).
+
+    fmt fields = (audio_fmt, channels, sr_hz, byte_rate, block_align, bits);
+    ``fmt_extra`` is the bytes past the 16 standard fmt fields (cbSize body
+    for extensible formats like IMA ADPCM). ValueError on any structural
+    corruption — same contract as :func:`decode_wav_pcm16`.
+    """
+    if payload is None or len(payload) < 44:
+        raise ValueError("payload too short for RIFF header")
+    riff, _size, wave = _RIFF_HEADER.unpack_from(payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = _RIFF_HEADER.size
+    fmt = None
+    extra = b""
+    while off + _CHUNK_HDR.size <= len(payload):
+        cid, csize = _CHUNK_HDR.unpack_from(payload, off)
+        body = off + _CHUNK_HDR.size
+        if cid == b"fmt ":
+            if csize < 16 or body + csize > len(payload):
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, body)
+            extra = payload[body + 16: body + csize]
+            if fmt[2] <= 0:
+                raise ValueError(f"invalid sample rate {fmt[2]}")
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            if body + csize > len(payload):
+                raise ValueError("truncated data chunk")
+            return fmt, extra, body, csize
+        off = body + csize + (csize & 1)
+    raise ValueError("no data chunk found")
+
+
+def encode_wav_pcm24(samples: np.ndarray, sr_hz: int) -> bytes:
+    """RIFF/WAVE PCM 24-bit mono. int16 input is placed in the TOP 16
+    bits (standard 16->24 promotion: sample << 8), so the decode-side
+    ``>> 8`` is a lossless roundtrip for 16-bit-sourced material."""
+    s = np.asarray(samples, dtype=np.int16).astype("<i4") << 8
+    b = s.view(np.uint8).reshape(-1, 4)[:, :3]  # little-endian low 3 bytes
+    pcm = np.ascontiguousarray(b).tobytes()
+    fmt = _FMT_CHUNK.pack(b"fmt ", 16, 1, 1, sr_hz, sr_hz * 3, 3, 24)
+    data_hdr = _CHUNK_HDR.pack(b"data", len(pcm))
+    riff = _RIFF_HEADER.pack(b"RIFF", 4 + len(fmt) + len(data_hdr) + len(pcm), b"WAVE")
+    return riff + fmt + data_hdr + pcm
+
+
+def decode_wav_pcm24(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM 24-bit WAV -> int16 (top 16 bits; exact inverse of the
+    encoder's ``<< 8`` promotion)."""
+    (audio_fmt, channels, sr_hz, _br, _ba, bits), _x, body, csize = _walk_wav(payload)
+    if audio_fmt != 1 or bits != 24 or channels != 1:
+        raise ValueError(f"not mono PCM24 (fmt={audio_fmt} bits={bits} ch={channels})")
+    n = csize // 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=body).reshape(n, 3)
+    # sign-extend 24-bit little-endian into int32, then take the top 16
+    s32 = (raw[:, 0].astype(np.int32)
+           | (raw[:, 1].astype(np.int32) << 8)
+           | (raw[:, 2].astype(np.int8).astype(np.int32) << 16))
+    return sr_hz, (s32 >> 8).astype(np.int16)
+
+
+def encode_wav_f32(samples: np.ndarray, sr_hz: int) -> bytes:
+    """RIFF/WAVE IEEE-float32 mono (wFormatTag=3). int16/32768.0 is
+    exactly representable in float32, so the roundtrip is lossless."""
+    f = (np.asarray(samples, dtype=np.int16).astype("<f4") / np.float32(32768.0))
+    pcm = f.astype("<f4").tobytes()
+    fmt = _FMT_CHUNK.pack(b"fmt ", 16, 3, 1, sr_hz, sr_hz * 4, 4, 32)
+    data_hdr = _CHUNK_HDR.pack(b"data", len(pcm))
+    riff = _RIFF_HEADER.pack(b"RIFF", 4 + len(fmt) + len(data_hdr) + len(pcm), b"WAVE")
+    return riff + fmt + data_hdr + pcm
+
+
+def decode_wav_f32(payload: bytes) -> tuple[int, np.ndarray]:
+    """IEEE-float32 WAV -> int16 (round-half-away, clipped)."""
+    (audio_fmt, channels, sr_hz, _br, _ba, bits), _x, body, csize = _walk_wav(payload)
+    if audio_fmt != 3 or bits != 32 or channels != 1:
+        raise ValueError(f"not mono float32 (fmt={audio_fmt} bits={bits} ch={channels})")
+    f = np.frombuffer(payload, dtype="<f4", count=csize // 4, offset=body)
+    if not np.all(np.isfinite(f)):
+        raise ValueError("non-finite float32 samples")
+    return sr_hz, np.clip(np.round(f.astype(np.float64) * 32768.0),
+                          -32768, 32767).astype(np.int16)
+
+
 # -- mu-law (G.711-style) — a REAL lossy codec, pure numpy -------------------
 
 _ULAW_MAGIC = b"ULAW"
@@ -136,6 +238,219 @@ def decode_ulaw(payload: bytes) -> tuple[int, np.ndarray]:
     y = codes.astype(np.float64) / 255.0 * 2.0 - 1.0
     f = np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU))) / _MU
     return sr_hz, np.clip(np.round(f * 32768.0), -32768, 32767).astype(np.int16)
+
+
+# -- A-law (ITU-T G.711, the genuine segmented codec) ------------------------
+#
+# Unlike the continuous-formula mu-law above, this is the bit-exact
+# G.711 A-law companding: 13-bit magnitude -> 8 chord segments x 16
+# steps, code XOR 0x55 on the wire. Decode midpoints follow the ITU
+# tables (the classic public-domain g711.c algorithm), vectorized.
+
+_ALAW_MAGIC = b"ALAW"
+_ALAW_HDR = struct.Struct("<4sII")  # magic, sr_hz, n_samples
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def _alaw_compress(x: np.ndarray) -> np.ndarray:
+    """int16 samples -> 8-bit A-law codes (vectorized G.711)."""
+    x = np.asarray(x, dtype=np.int16).astype(np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1) >> 3  # 13-bit magnitude, 0..4095
+    seg = np.searchsorted(_ALAW_SEG_END, mag)  # first seg with mag <= end
+    low = np.where(seg < 2, (mag >> 1) & 0xF, (mag >> seg) & 0xF)
+    return ((seg << 4) | low).astype(np.int32) ^ mask
+
+
+_ALAW_EXPAND = None
+
+
+def _alaw_expand_table() -> np.ndarray:
+    """256-entry decode table: code -> int16 segment-midpoint sample."""
+    global _ALAW_EXPAND
+    if _ALAW_EXPAND is None:
+        a = np.arange(256, dtype=np.int32) ^ 0x55
+        t = (a & 0xF) << 4
+        seg = (a & 0x70) >> 4
+        t = np.where(seg == 0, t + 8,
+                     np.where(seg == 1, t + 0x108,
+                              (t + 0x108) << np.maximum(seg - 1, 0)))
+        # t is the 13-bit-domain midpoint << 3 == full int16 scale
+        _ALAW_EXPAND = np.where(np.arange(256) & 0x80, t, -t).astype(np.int16)
+    return _ALAW_EXPAND
+
+
+def encode_alaw(samples: np.ndarray, sr_hz: int) -> bytes:
+    """Compand int16 mono samples to G.711 A-law in the same minimal
+    container shape as ULAW: ``ALAW | sr_hz u32 | n u32 | codes u8[n]``."""
+    codes = _alaw_compress(samples).astype(np.uint8)
+    return _ALAW_HDR.pack(_ALAW_MAGIC, sr_hz, len(codes)) + codes.tobytes()
+
+
+def decode_alaw(payload: bytes) -> tuple[int, np.ndarray]:
+    """Expand A-law codes to int16 segment midpoints (lossy: 8 chords x
+    16 steps; ~37 dB SNR on full-scale tonal material)."""
+    if payload is None or len(payload) < _ALAW_HDR.size:
+        raise ValueError("payload too short for ALAW header")
+    magic, sr_hz, n = _ALAW_HDR.unpack_from(payload, 0)
+    if magic != _ALAW_MAGIC:
+        raise ValueError("not an ALAW payload")
+    if sr_hz <= 0:
+        raise ValueError(f"invalid sample rate {sr_hz}")
+    body = payload[_ALAW_HDR.size:]
+    if len(body) < n:
+        raise ValueError("truncated ALAW data")
+    codes = np.frombuffer(body, dtype=np.uint8, count=n)
+    return sr_hz, _alaw_expand_table()[codes]
+
+
+# -- IMA ADPCM in a real WAV container (wFormatTag 0x11) ---------------------
+#
+# The DVI/IMA 4-bit adaptive-delta codec, block-framed exactly as WAV
+# stores it: each block = i16 predictor seed + u8 step index + u8
+# reserved + 4-bit nibbles (low nibble first). Blocks are independent,
+# so decode vectorizes ACROSS blocks: the Python loop is over the
+# within-block sample position (block_align 256 -> 505 steps) operating
+# on an n_blocks-wide numpy vector each step — per-clip cost is
+# O(samples_per_block) numpy calls regardless of clip length, the same
+# cost shape as the FLAC subset decoder.
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_BLOCK_ALIGN = 256  # bytes -> 505 samples per block
+
+
+def _ima_samples_per_block(block_align: int) -> int:
+    return (block_align - 4) * 2 + 1
+
+
+def _ima_reconstruct(pred: np.ndarray, index: np.ndarray,
+                     nibble: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One IMA update step for a VECTOR of parallel blocks."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    diff = diff + np.where(nibble & 1, step >> 2, 0)
+    diff = diff + np.where(nibble & 2, step >> 1, 0)
+    diff = diff + np.where(nibble & 4, step, 0)
+    pred = np.clip(np.where(nibble & 8, pred - diff, pred + diff),
+                   -32768, 32767)
+    index = np.clip(index + _IMA_INDEX_TABLE[nibble & 7], 0, 88)
+    return pred, index
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, sr_hz: int,
+                         block_align: int = _IMA_BLOCK_ALIGN) -> bytes:
+    """Encode int16 mono samples as an IMA-ADPCM WAV (fmt 0x11).
+
+    Vectorized across blocks: sample 0 of every block seeds the
+    predictor verbatim; the remaining samples quantize to 4-bit adaptive
+    deltas in lockstep across all blocks. Trailing partial block is
+    zero-padded (the ``fact`` chunk records the true sample count)."""
+    spb = _ima_samples_per_block(block_align)
+    x = np.asarray(samples, dtype=np.int16).astype(np.int32)
+    n = len(x)
+    n_blocks = max(1, -(-n // spb))
+    pad = n_blocks * spb - n
+    if pad:
+        x = np.concatenate([x, np.zeros(pad, dtype=np.int32)])
+    blocks = x.reshape(n_blocks, spb)
+    pred = blocks[:, 0].copy()
+    index = np.zeros(n_blocks, dtype=np.int32)
+    nibbles = np.empty((n_blocks, spb - 1), dtype=np.uint8)
+    for j in range(1, spb):
+        step = _IMA_STEP_TABLE[index]
+        diff = blocks[:, j] - pred
+        sign = diff < 0
+        mag = np.abs(diff)
+        b2 = mag >= step
+        mag = mag - np.where(b2, step, 0)
+        half = step >> 1
+        b1 = mag >= half
+        mag = mag - np.where(b1, half, 0)
+        b0 = mag >= (step >> 2)
+        nib = (sign.astype(np.int32) << 3) | (b2.astype(np.int32) << 2) \
+            | (b1.astype(np.int32) << 1) | b0.astype(np.int32)
+        nibbles[:, j - 1] = nib
+        pred, index = _ima_reconstruct(pred, index, nib)
+    # pack: low nibble first, per block
+    lo = nibbles[:, 0::2].astype(np.uint8)
+    hi = nibbles[:, 1::2].astype(np.uint8)
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    headers = np.zeros((n_blocks, 4), dtype=np.uint8)
+    headers[:, 0:2] = blocks[:, 0].astype("<i2").view(np.uint8).reshape(n_blocks, 2)
+    # step index seeds at 0 (written for spec shape; decoder reads it)
+    body = np.concatenate([headers, packed], axis=1).tobytes()
+    fmt = struct.pack("<4sIHHIIHHHH", b"fmt ", 20, 0x11, 1, sr_hz,
+                      sr_hz * block_align // spb, block_align, 4, 2, spb)
+    fact = struct.pack("<4sII", b"fact", 4, n)
+    data_hdr = _CHUNK_HDR.pack(b"data", len(body))
+    riff = _RIFF_HEADER.pack(
+        b"RIFF", 4 + len(fmt) + len(fact) + len(data_hdr) + len(body), b"WAVE"
+    )
+    return riff + fmt + fact + data_hdr + body
+
+
+def decode_wav_ima_adpcm(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an IMA-ADPCM WAV (fmt 0x11, mono) -> (sr_hz, int16).
+
+    Block-parallel: all blocks advance one sample per numpy step. The
+    ``fact`` chunk's sample count trims the final block's zero-padding."""
+    (audio_fmt, channels, sr_hz, _br, block_align, bits), extra, body, csize = \
+        _walk_wav(payload)
+    if audio_fmt != 0x11 or channels != 1 or bits != 4:
+        raise ValueError(
+            f"not mono IMA ADPCM (fmt={audio_fmt:#x} bits={bits} ch={channels})"
+        )
+    if block_align < 8:
+        raise ValueError(f"invalid block align {block_align}")
+    spb = _ima_samples_per_block(block_align)
+    if len(extra) >= 4:
+        declared = struct.unpack_from("<H", extra, 2)[0]
+        if declared != spb:
+            raise ValueError(
+                f"samplesPerBlock {declared} inconsistent with align {block_align}"
+            )
+    if csize % block_align:
+        raise ValueError("truncated ADPCM block")
+    n_blocks = csize // block_align
+    if n_blocks == 0:
+        raise ValueError("no ADPCM blocks")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=csize, offset=body)
+    raw = raw.reshape(n_blocks, block_align)
+    pred = raw[:, 0:2].copy().view("<i2").astype(np.int32).ravel()
+    index = np.clip(raw[:, 2].astype(np.int32), 0, 88)
+    packed = raw[:, 4:]
+    nib = np.empty((n_blocks, (block_align - 4) * 2), dtype=np.int32)
+    nib[:, 0::2] = packed & 0xF
+    nib[:, 1::2] = packed >> 4
+    out = np.empty((n_blocks, spb), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for j in range(1, spb):
+        pred, index = _ima_reconstruct(pred, index, nib[:, j - 1])
+        out[:, j] = pred.astype(np.int16)
+    samples = out.ravel()
+    # trim to the fact chunk's true length (scan chunks once more)
+    off = _RIFF_HEADER.size
+    while off + _CHUNK_HDR.size <= len(payload):
+        cid, cs = _CHUNK_HDR.unpack_from(payload, off)
+        if cid == b"fact" and cs >= 4:
+            n_true = struct.unpack_from("<I", payload, off + _CHUNK_HDR.size)[0]
+            if n_true > len(samples):
+                raise ValueError("fact count exceeds decoded samples")
+            samples = samples[:n_true]
+            break
+        off += _CHUNK_HDR.size + cs + (cs & 1)
+    return sr_hz, samples
 
 
 def _decode_soundfile(payload: bytes) -> tuple[int, np.ndarray]:
@@ -178,7 +493,11 @@ from .flac_codec import decode_flac, encode_flac  # noqa: E402  (real subset cod
 
 DECODERS = {
     "pcm_s16le": decode_wav_pcm16,
+    "pcm_s24le": decode_wav_pcm24,
+    "pcm_f32le": decode_wav_f32,
     "ulaw": decode_ulaw,
+    "alaw": decode_alaw,
+    "ima_adpcm": decode_wav_ima_adpcm,
     # soundfile (full spec, incl. LPC) preferred when present; the pure
     # subset decoder otherwise — NEVER a WAV-delegating stub: flac-labeled
     # bytes must carry real FLAC framing or fail the gate

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.audio_codec import CODEC_WHITELIST
 from ..messages import resolve
 from ..models import PROCESS_SCHEMA_BASE
 
@@ -190,7 +191,7 @@ def speaking_rate_rule(
 # -- the default rule set for the clips table (north_rule A5 domains) --------
 
 def clips_base_rules(sr_domain=(8000, 16000, 22050, 44100),
-                     codec_whitelist=("pcm_s16le", "ulaw", "flac", "opus"),
+                     codec_whitelist=CODEC_WHITELIST,
                      dur_min: int = 1, dur_max: int = 60_000) -> list[Rule]:
     return [
         enum_rule("sr_hz", list(sr_domain)),
