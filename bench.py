@@ -104,9 +104,10 @@ def ensure_bench_tables(spark, n: int):
 
     from tdr_draft_metadata_validator_spark.operators.audio import ref_fingerprints
 
-    # v2: flac-labeled clips carry REAL FLAC payloads (r5) — v1 caches
-    # (flac-labeled RIFF) would fail the real decoder's gate
-    clips_path = BENCH_DATA / f"clips_{n}_v2.parquet"
+    # v2: flac-labeled clips carry REAL FLAC payloads (r5); v3: opus-
+    # labeled clips carry REAL Ogg/Opus containers (r6) — older caches
+    # would fail the real decoders' gates
+    clips_path = BENCH_DATA / f"clips_{n}_v3.parquet"
     ref_path = BENCH_DATA / f"ref_{n}.parquet"
     fp_path = BENCH_DATA / f"ref_fp_{n}.parquet"
     if not clips_path.exists():

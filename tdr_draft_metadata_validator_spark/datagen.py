@@ -17,8 +17,10 @@ resources/sample*.csv, onto the audio-table shape):
                  volumes sane; FIXTURES allows up to 15000)
 - ``codec``     in {pcm_s16le, flac, opus}: pcm payloads are RIFF,
                  flac payloads are REAL FLAC streams (verbatim frames,
-                 functions.flac_codec), opus payloads are RIFF (decoded
-                 by the documented stub; see functions.audio_codec).
+                 functions.flac_codec), opus payloads are REAL Ogg/Opus
+                 containers (spec pages + CRC + OpusHead) around the
+                 documented FPCM sandbox packet payload (r6; see
+                 functions.ogg_opus).
                  Opt-in ``ulaw_every`` adds true-lossy mu-law slots;
                  ``extended_every`` adds alaw / ima_adpcm / pcm_s24le /
                  pcm_f32le slots (r6 extended codecs)
@@ -41,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .functions.audio_codec import (
     encode_alaw,
     encode_flac,
+    encode_ogg_fake_opus,
     encode_ulaw,
     encode_wav_f32,
     encode_wav_ima_adpcm,
@@ -151,6 +154,12 @@ def clips_batch(indices: np.ndarray, seed: int = SEED,
                 # fast on both sides); the gate's flac decoder refuses
                 # anything else, so a RIFF payload here would be a bug
                 payload = encode_flac(pcm, sr)
+            elif codec == "opus":
+                # REAL Ogg/Opus container (r6): spec pages + CRC +
+                # OpusHead around the documented FPCM sandbox packets —
+                # the gate's opus decoder refuses RIFF at the capture
+                # pattern now, so a RIFF payload here would be a bug
+                payload = encode_ogg_fake_opus(pcm, sr)
             else:
                 payload = encode_wav_pcm16(pcm, sr)
         rows.append(

@@ -31,12 +31,15 @@ Seven codecs are REAL (pure numpy; every byte of framing parsed here):
   optimistically decoding. When ``soundfile`` (libsndfile) is importable
   it takes precedence; absent in this image.
 
-``opus`` decodes REAL only when ``soundfile`` is importable — the same
-import-try pattern as PIL in image_codec.py; in this container the lib
-is absent, so it falls back to a deterministic stub that delegates to
-the WAV parser (the synthetic generator produces RIFF payloads for
-``opus``). The lossy-path plumbing a real opus decode would exercise is
-covered end-to-end by ``ulaw``.
+``opus`` (r6): the CONTAINER is real — :mod:`.ogg_opus` parses and
+verifies Ogg pages (RFC 3533 CRC-32 on every page, lacing, sequencing)
+and OpusHead/OpusTags (RFC 7845), so a mislabeled RIFF payload refuses
+at the capture pattern. The inner packet decode is three-way gated:
+full decode via ``soundfile`` when importable (absent in this image);
+the loudly-documented ``FPCM`` deterministic fake packet payload that
+datagen writes (sandbox stand-in for libopus — container checks stay
+real); otherwise an honest ValueError. The lossy-path plumbing a real
+opus decode would exercise is covered end-to-end by ``ulaw``/``alaw``.
 """
 
 from __future__ import annotations
@@ -480,16 +483,21 @@ def to_mono(samples: np.ndarray) -> np.ndarray:
             // samples.shape[1]).astype(np.int16)
 
 
-def decode_opus_stub(payload: bytes) -> tuple[int, np.ndarray]:
-    """FALLBACK when soundfile is absent (this image): synthetic 'opus'
-    payloads are RIFF, so delegate to the WAV parser. Kept as a separate
-    symbol so the dispatch table / tests exercise the codec routing for
-    real; :data:`DECODERS` binds 'opus' to the REAL soundfile decoder
-    whenever the lib imports."""
-    return decode_wav_pcm16(payload)
+def decode_opus(payload: bytes) -> tuple[int, np.ndarray]:
+    """Ogg/Opus decode with REAL container verification (r6 — closes
+    the last optimistic decode path; the pre-r6 stub delegated opus
+    labels to the RIFF parser, the same false-accept shape the FLAC
+    path had before r5). Every Ogg page CRC/lacing/sequence check and
+    the OpusHead parse are the real RFC 3533/7845 formats; the inner
+    packet decode is three-way gated (soundfile -> real; documented
+    FPCM sandbox stand-in; else honest refusal). See
+    :mod:`.ogg_opus`. :data:`DECODERS` binds 'opus' to the full
+    soundfile decoder instead whenever the lib imports."""
+    return decode_ogg_opus(payload)
 
 
 from .flac_codec import decode_flac, encode_flac  # noqa: E402  (real subset codec)
+from .ogg_opus import decode_ogg_opus, encode_ogg_fake_opus  # noqa: E402,F401
 
 DECODERS = {
     "pcm_s16le": decode_wav_pcm16,
@@ -502,7 +510,7 @@ DECODERS = {
     # subset decoder otherwise — NEVER a WAV-delegating stub: flac-labeled
     # bytes must carry real FLAC framing or fail the gate
     "flac": _decode_soundfile if _soundfile is not None else decode_flac,
-    "opus": _decode_soundfile if _soundfile is not None else decode_opus_stub,
+    "opus": _decode_soundfile if _soundfile is not None else decode_opus,
 }
 
 
