@@ -44,11 +44,13 @@ sys.path.insert(0, "/root/repo")
 
 N_CLIPS = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "240000"))
 N_SMALL = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-# r6 (judge r5 task 7): 40M rows so the small-side wall clears the
-# ~2 s fixed scheduling floor by >=10x and the core-ratio means
-# something; the pair runs at (2, 8) cores for the same reason the
-# decode gate does (memory-bus saturation past ~8 local cores)
-N_META = int(sys.argv[3]) if len(sys.argv) > 3 else 40_000_000
+# r6 (judge r5 task 7): grown so the small-side wall clears the ~2 s
+# fixed scheduling floor by >=10x and the core-ratio means something;
+# the pair runs at (2, 8) cores for the same reason the decode gate
+# does (memory-bus saturation past ~8 local cores). 40M rows measured
+# a 5.5 s small wall (still ~2.7x the floor — the relational engine is
+# faster than the r5 sizing assumed); 160M gives ~20 s.
+N_META = int(sys.argv[3]) if len(sys.argv) > 3 else 160_000_000
 N_BIG = N_SMALL * 4
 BENCH_DATA = pathlib.Path("/root/repo/.bench_data")
 OUT_MD = pathlib.Path("/root/repo/BENCH/BASELINE.md")
