@@ -49,7 +49,15 @@ def gated(label, *args, attempts=3, **kwargs):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "full-audio"
-    if which == "full-audio":
+    if which == "decode-gate":
+        from bench import ensure_bench_tables
+        from tdr_draft_metadata_validator_spark.session import get_spark
+
+        gen = get_spark(app_name="remeasure-gen", master="local[32]")
+        clips, _ref, _fp = ensure_bench_tables(gen, 240000)
+        gen.stop()
+        rep = gated("decode-gate", 240000, clips, None, None, True, n_small=2)
+    elif which == "full-audio":
         from bench import ensure_bench_tables
         from tdr_draft_metadata_validator_spark.session import get_spark
 
