@@ -81,6 +81,12 @@ _CATALOG: dict[tuple[str, str, str], str] = {
     ("AUDIO_VALIDATION", "bytes", "undecodable"): (
         "Audio payload could not be decoded with the declared codec"
     ),
+    ("AUDIO_VALIDATION", "sr_hz", "sampleRateMismatch"): (
+        "Declared sample rate does not match the decoded audio payload"
+    ),
+    ("AUDIO_VALIDATION", "dur_ms", "durationMismatch"): (
+        "Declared duration does not match the decoded audio payload"
+    ),
     # --- distribution drift (north_rule A6) ---
     ("DISTRIBUTION_DRIFT", "*", "distributionDrift"): (
         "Column distribution has drifted from the reference beyond the "

@@ -50,6 +50,14 @@ _FP_SCHEMA = T.StructType(
         T.StructField("decode_ok", T.BooleanType(), False),
         T.StructField("decode_err", T.StringType(), True),
         T.StructField("pcm_md5", T.StringType(), True),
+        # payload truth for the metadata-consistency check (r6): the
+        # sample rate the container/frames declare and the decoded
+        # per-channel frame count — compared against the table's
+        # sr_hz/dur_ms columns JVM-side (pure Column predicates)
+        T.StructField("decoded_sr", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sr_hz", T.IntegerType(), True),
+        T.StructField("dur_ms", T.IntegerType(), True),
     ]
 )
 
@@ -65,20 +73,27 @@ _EMPTY_DATA = "array<struct<name:string,value:string>>"
 
 
 def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Stage-1 worker: decode + md5 of the decoded little-endian PCM16."""
+    """Stage-1 worker: decode + md5 of the decoded little-endian PCM16,
+    plus the payload's decoded sample rate / frame count (metadata-
+    consistency inputs; declared sr_hz/dur_ms pass through untouched)."""
     for pdf in batches:
-        ids, oks, errs, fps = [], [], [], []
+        has_meta = "sr_hz" in pdf.columns
+        ids, oks, errs, fps, srs, frames = [], [], [], [], [], []
         for row in range(len(pdf)):
             ids.append(pdf["clip_id"].iat[row])
             try:
-                _sr, samples = decode(pdf["bytes"].iat[row], pdf["codec"].iat[row])
+                sr, samples = decode(pdf["bytes"].iat[row], pdf["codec"].iat[row])
             except ValueError as exc:
                 oks.append(False)
                 errs.append(str(exc))
                 fps.append(None)
+                srs.append(None)
+                frames.append(None)
                 continue
             oks.append(True)
             errs.append(None)
+            srs.append(sr)
+            frames.append(int(samples.shape[0]))  # per-channel frames
             # multichannel clips (r6): the reference stores mono ref_pcm,
             # so the invariant hashes/compares the deterministic mono
             # downmix — a valid stereo FLAC passes the decode gate and
@@ -86,24 +101,55 @@ def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             samples = to_mono(samples)
             fps.append(hashlib.md5(np.ascontiguousarray(samples, dtype="<i2").tobytes()).hexdigest())
         yield pd.DataFrame(
-            {"clip_id": ids, "decode_ok": oks, "decode_err": errs, "pcm_md5": fps}
+            {
+                "clip_id": ids,
+                "decode_ok": oks,
+                "decode_err": errs,
+                "pcm_md5": fps,
+                "decoded_sr": pd.array(srs, dtype="Int32"),
+                "n_frames": pd.array(frames, dtype="Int64"),
+                "sr_hz": (pdf["sr_hz"].astype("Int32").values
+                          if has_meta else pd.array([None] * len(pdf), dtype="Int32")),
+                "dur_ms": (pdf["dur_ms"].astype("Int32").values
+                           if has_meta else pd.array([None] * len(pdf), dtype="Int32")),
+            }
         )
 
 
-def _snr_check(threshold_db: float):
-    """Stage-3 worker: exact SNR compare for hash-mismatched clips."""
+def _snr_check(threshold_db: float, duration_tolerance_ms: int | None = None):
+    """Stage-3 worker: exact SNR compare for hash-mismatched clips.
+    With ``duration_tolerance_ms`` set (strict audit mode, where this is
+    the ONLY decode pass), also emits the metadata-consistency rows the
+    fingerprint pass would otherwise produce."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            check_meta = (duration_tolerance_ms is not None
+                          and "sr_hz" in pdf.columns)
             ids, keys, details = [], [], []
             for row in range(len(pdf)):
                 try:
-                    _sr, samples = decode(pdf["bytes"].iat[row], pdf["codec"].iat[row])
+                    sr, samples = decode(pdf["bytes"].iat[row], pdf["codec"].iat[row])
                 except ValueError as exc:  # pragma: no cover (screened in stage 1)
                     ids.append(pdf["clip_id"].iat[row])
                     keys.append("undecodable")
                     details.append(str(exc))
                     continue
+                if check_meta:
+                    declared_sr = pdf["sr_hz"].iat[row]
+                    declared_ms = pdf["dur_ms"].iat[row]
+                    if declared_sr is not None and int(declared_sr) != sr:
+                        ids.append(pdf["clip_id"].iat[row])
+                        keys.append("sampleRateMismatch")
+                        details.append(f"decoded_sr={sr} declared={declared_sr}")
+                    decoded_ms = round(samples.shape[0] * 1000.0 / sr)
+                    if (declared_ms is not None
+                            and abs(decoded_ms - int(declared_ms))
+                            > duration_tolerance_ms):
+                        ids.append(pdf["clip_id"].iat[row])
+                        keys.append("durationMismatch")
+                        details.append(
+                            f"decoded_ms={decoded_ms} declared={declared_ms}")
                 ref_raw = pdf["ref_pcm"].iat[row]
                 if ref_raw is None:
                     continue
@@ -150,6 +196,7 @@ def audio_invariants(
     snr_threshold_db: float = 30.0,
     fingerprints: DataFrame | None = None,
     strict_snr: bool = False,
+    duration_tolerance_ms: int = 1,
 ) -> DataFrame:
     """Decode + SNR + transcript checks -> violation rows (common schema).
 
@@ -160,8 +207,21 @@ def audio_invariants(
     EVERY decodable row instead of only the hash-mismatch residue
     (guards against the astronomically-unlikely md5 collision; also the
     compute-heaviest configuration, used by the scaling bench).
+
+    Metadata consistency (r6): the declared ``sr_hz``/``dur_ms`` columns
+    must agree with the decoded payload — ``sampleRateMismatch`` when
+    the container's rate differs, ``durationMismatch`` when
+    ``round(n_frames*1000/decoded_sr)`` is off by more than
+    ``duration_tolerance_ms`` (1 ms default: every decoder here returns
+    exact frame counts — IMA ADPCM trims to the fact chunk — so the only
+    slack needed is integer-ms rounding). The payload truth rides the
+    SAME single decode pass (two extra ints per row in the Arrow
+    transfer); the comparison itself is pure Column predicates, no
+    second decode, no join. Tables without sr_hz/dur_ms columns skip
+    the check (nulls never flag).
     """
-    src = clips.select(F.col(key).alias("clip_id"), "bytes", "codec")
+    meta_cols = [c for c in ("sr_hz", "dur_ms") if c in clips.columns]
+    src = clips.select(F.col(key).alias("clip_id"), "bytes", "codec", *meta_cols)
 
     if ref is not None and strict_snr:
         # Audit mode: single decode inside the payload join, SNR for every
@@ -172,15 +232,40 @@ def audio_invariants(
         snr_fail = src.join(
             ref.select(F.col(key).alias("clip_id"), "ref_pcm"),
             on="clip_id", how="inner",
-        ).mapInPandas(_snr_check(snr_threshold_db), _SNR_SCHEMA)
-        snr_violations = _violation_rows(
-            snr_fail.select("asset_id", "error_key"),
-            "bytes",
-            F.col("error_key"),
+        ).mapInPandas(
+            _snr_check(snr_threshold_db,
+                       duration_tolerance_ms=duration_tolerance_ms),
+            _SNR_SCHEMA,
+        )
+        # error_key -> (property, message): the audit worker emits the
+        # metadata-consistency keys alongside the PCM ones
+        prop = (
+            F.when(F.col("error_key") == "sampleRateMismatch", F.lit("sr_hz"))
+            .when(F.col("error_key") == "durationMismatch", F.lit("dur_ms"))
+            .otherwise(F.lit("bytes"))
+        )
+        msg = (
             F.when(
                 F.col("error_key") == "undecodable",
                 F.lit(resolve(PROCESS_AUDIO, "bytes", "undecodable")),
-            ).otherwise(F.lit(resolve(PROCESS_AUDIO, "bytes", "snrBelowThreshold"))),
+            )
+            .when(
+                F.col("error_key") == "sampleRateMismatch",
+                F.lit(resolve(PROCESS_AUDIO, "sr_hz", "sampleRateMismatch")),
+            )
+            .when(
+                F.col("error_key") == "durationMismatch",
+                F.lit(resolve(PROCESS_AUDIO, "dur_ms", "durationMismatch")),
+            )
+            .otherwise(F.lit(resolve(PROCESS_AUDIO, "bytes", "snrBelowThreshold")))
+        )
+        snr_violations = snr_fail.select(
+            F.col("asset_id"),
+            F.lit(PROCESS_AUDIO).alias("validation_process"),
+            prop.alias("property"),
+            F.col("error_key").alias("error_key"),
+            msg.alias("message"),
+            F.array().cast(_EMPTY_DATA).alias("data"),
         )
         return snr_violations.unionByName(_transcript_check(clips, ref, key))
 
@@ -201,8 +286,10 @@ def audio_invariants(
         F.lit(resolve(PROCESS_AUDIO, "bytes", "undecodable")),
     )
 
+    meta_violations = _metadata_consistency(fp, duration_tolerance_ms)
+
     if ref is None:
-        return undecodable
+        return undecodable.unionByName(meta_violations)
 
     # ---- stage 2: hash-only comparison (no payloads in the shuffle) -----
     ref_fp = fingerprints if fingerprints is not None else ref_fingerprints(ref, key)
@@ -258,9 +345,51 @@ def audio_invariants(
     )
 
     return (
-        undecodable.unionByName(snr_violations)
+        undecodable.unionByName(meta_violations)
+        .unionByName(snr_violations)
         .unionByName(_transcript_check(clips, ref, key))
     )
+
+
+def _metadata_consistency(fp: DataFrame, tolerance_ms: int) -> DataFrame:
+    """Declared sr_hz/dur_ms vs the decoded payload (pure Column logic
+    over the fingerprint frame — the decode already happened). Null
+    declared values (tables without the columns) never flag."""
+    ok = fp.where(F.col("decode_ok"))
+    sr_bad = ok.where(
+        F.col("sr_hz").isNotNull() & (F.col("decoded_sr") != F.col("sr_hz"))
+    )
+    decoded_ms = F.round(F.col("n_frames") * 1000.0 / F.col("decoded_sr"))
+    dur_bad = ok.where(
+        F.col("dur_ms").isNotNull()
+        & (F.abs(decoded_ms - F.col("dur_ms")) > tolerance_ms)
+    )
+    sr_v = _violation_rows(
+        sr_bad.select(F.col("clip_id").alias("asset_id"), "decoded_sr", "sr_hz"),
+        "sr_hz",
+        F.lit("sampleRateMismatch"),
+        F.lit(resolve(PROCESS_AUDIO, "sr_hz", "sampleRateMismatch")),
+        data_col=F.array(
+            F.struct(F.lit("decoded_sr").alias("name"),
+                     F.col("decoded_sr").cast("string").alias("value")),
+            F.struct(F.lit("sr_hz").alias("name"),
+                     F.col("sr_hz").cast("string").alias("value")),
+        ),
+    )
+    dur_v = _violation_rows(
+        dur_bad.select(F.col("clip_id").alias("asset_id"),
+                       decoded_ms.cast("long").alias("decoded_ms"), "dur_ms"),
+        "dur_ms",
+        F.lit("durationMismatch"),
+        F.lit(resolve(PROCESS_AUDIO, "dur_ms", "durationMismatch")),
+        data_col=F.array(
+            F.struct(F.lit("decoded_ms").alias("name"),
+                     F.col("decoded_ms").cast("string").alias("value")),
+            F.struct(F.lit("dur_ms").alias("name"),
+                     F.col("dur_ms").cast("string").alias("value")),
+        ),
+    )
+    return sr_v.unionByName(dur_v)
 
 
 def _transcript_check(clips: DataFrame, ref: DataFrame, key: str) -> DataFrame:

@@ -76,3 +76,45 @@ def test_transcript_mismatch(spark):
     assert [(r["asset_id"], r["error_key"]) for r in rows] == [
         (datagen.clip_id_of(2), "transcriptMismatch")
     ]
+
+
+def test_metadata_consistency_sr_and_duration(spark):
+    """r6: declared sr_hz/dur_ms must match the decoded payload. Clip 1
+    lies about its sample rate, clip 2 about its duration; clip 0 is
+    honest. The payload itself is valid audio either way — pre-r6 both
+    lies passed every check when no reference row flagged content."""
+    pdf = datagen.clips_batch(np.arange(3))
+    pdf.loc[1, "sr_hz"] = int(pdf.loc[1, "sr_hz"]) * 2
+    pdf.loc[2, "dur_ms"] = int(pdf.loc[2, "dur_ms"]) + 250
+    clips = datagen.clips_df(spark, pdf)
+    rows = audio_invariants(clips, None).collect()
+    got = sorted((r["asset_id"], r["error_key"], r["property"]) for r in rows)
+    assert got == [
+        (datagen.clip_id_of(1), "sampleRateMismatch", "sr_hz"),
+        (datagen.clip_id_of(2), "durationMismatch", "dur_ms"),
+    ]
+    data = {r["error_key"]: {d["name"]: d["value"] for d in r["data"]}
+            for r in rows}
+    assert data["sampleRateMismatch"]["sr_hz"] == str(pdf.loc[1, "sr_hz"])
+    assert int(data["durationMismatch"]["decoded_ms"]) + 250 == int(
+        data["durationMismatch"]["dur_ms"])
+
+
+def test_metadata_consistency_clean_all_codecs(spark):
+    """Honest tables (incl. flac/opus/lossy slots) raise no metadata
+    violations: every decoder returns exact frame counts."""
+    pdf = datagen.clips_batch(np.arange(12), ulaw_every=5, extended_every=3)
+    clips = datagen.clips_df(spark, pdf)
+    assert audio_invariants(clips, None).count() == 0
+
+
+def test_metadata_consistency_strict_mode(spark):
+    """The strict audit path runs the same metadata checks inside its
+    single decode pass (there is no fingerprint stage to host them)."""
+    pdf = datagen.clips_batch(np.arange(3))
+    pdf.loc[1, "sr_hz"] = int(pdf.loc[1, "sr_hz"]) * 2
+    clips = datagen.clips_df(spark, pdf)
+    ref = datagen.ref_df(spark, datagen.ref_batch(np.arange(3)))
+    rows = audio_invariants(clips, ref, strict_snr=True).collect()
+    got = [(r["asset_id"], r["error_key"], r["property"]) for r in rows]
+    assert got == [(datagen.clip_id_of(1), "sampleRateMismatch", "sr_hz")]
