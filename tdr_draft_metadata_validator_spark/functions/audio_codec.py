@@ -514,12 +514,21 @@ DECODERS = {
 }
 
 
-def decode(payload: bytes, codec: str) -> tuple[int, np.ndarray]:
-    """Dispatch decode by codec. Unknown codec -> ValueError."""
+def decode(payload: bytes, codec: str,
+           flac_crc_sink: list | None = None) -> tuple[int, np.ndarray]:
+    """Dispatch decode by codec. Unknown codec -> ValueError.
+
+    ``flac_crc_sink``: optional deferred-CRC sink for the pure FLAC
+    decoder (see :func:`.flac_codec.crc16_verify_batch`) — batch callers
+    (the decode-gate worker) verify all streams' frame CRCs in one
+    vectorized pass instead of per clip. Ignored for other codecs and
+    when soundfile provides the FLAC decode."""
     try:
         dec = DECODERS[codec]
     except KeyError:
         raise ValueError(f"unknown codec {codec!r}") from None
+    if flac_crc_sink is not None and dec is decode_flac:
+        return decode_flac(payload, _crc_sink=flac_crc_sink)
     return dec(payload)
 
 

@@ -121,12 +121,42 @@ def _shift_tables(level: int) -> tuple[np.ndarray, np.ndarray]:
     return _shift_cache[level]
 
 
+# Per-position "slice" tables: because each chunk's CRC starts from
+# state 0 and the update is GF(2)-linear, CRC(chunk) decomposes as
+# XOR_j T_j[byte_j] where T_j[b] = CRC of (b at position j, zeros
+# after). That removes the _CHUNK-step sequential loop entirely — one
+# independent gather per byte position, XORed together (r7; ~2x fewer
+# vector ops than the sequential table update it replaces).
+_slice_cache: list[np.ndarray] = []
+
+
+def _slice_tables() -> list[np.ndarray]:
+    """_CHUNK//2 pair tables: table j maps the uint16 formed by bytes
+    (2j, 2j+1) of a chunk to that pair's CRC contribution — one gather
+    per TWO bytes (tables are 64K x uint16 = 128 KB each, cache-friendly)."""
+    if not _slice_cache:
+        tabs = [None] * _CHUNK
+        t = _CRC16_TABLE.copy()          # last position: CRC(b) = table[b]
+        tabs[_CHUNK - 1] = t
+        for j in range(_CHUNK - 2, -1, -1):
+            # one position earlier = one more zero byte after: apply the
+            # single-zero-byte shift map to every table entry
+            t = _CRC16_TABLE[t >> 8] ^ ((t << 8) & np.uint16(0xFFFF))
+            tabs[j] = t
+        hi = np.arange(65536, dtype=np.uint16) >> 8
+        lo = np.arange(65536, dtype=np.uint16) & np.uint16(0xFF)
+        for j in range(0, _CHUNK, 2):
+            _slice_cache.append(tabs[j][hi] ^ tabs[j + 1][lo])
+    return _slice_cache
+
+
 def crc16_many(frames: list) -> np.ndarray:
-    """CRC-16 of each byte string in ``frames`` in one vectorized pass
-    (uint16 array out). Frames are front-padded with zeros to a common
-    power-of-two chunk count — a no-op for this CRC — so the table
-    update runs data-parallel across (frame, chunk) and the per-chunk
-    CRCs fold pairwise through the precomputed shift maps."""
+    """CRC-16 of each byte string in ``frames`` in vectorized passes
+    (uint16 array out). Frames are front-padded with zeros — a no-op for
+    this CRC — and BUCKETED by padded length (power-of-two chunk count)
+    so mixed-size batches don't pay the longest frame's padding on every
+    row; within a bucket the per-chunk CRCs come from the parallel slice
+    tables and fold pairwise through the precomputed shift maps."""
     nf = len(frames)
     if nf == 0:
         return np.zeros(0, dtype=np.uint16)
@@ -134,26 +164,33 @@ def crc16_many(frames: list) -> np.ndarray:
         f if isinstance(f, np.ndarray) else np.frombuffer(bytes(f), dtype=np.uint8)
         for f in frames
     ]
-    maxlen = max(b.size for b in bufs)
-    k = 1
-    while k * _CHUNK < maxlen:
-        k <<= 1
-    total = k * _CHUNK
-    arr = np.zeros((nf, total), dtype=np.uint8)
+    groups: dict[int, list[int]] = {}
     for i, b in enumerate(bufs):
-        if b.size:
-            arr[i, total - b.size:] = b
-    chunks = arr.reshape(nf, k, _CHUNK)
-    crcs = np.zeros((nf, k), dtype=np.uint16)
-    for j in range(_CHUNK):
-        idx = (crcs >> 8) ^ chunks[:, :, j]
-        crcs = _CRC16_TABLE[idx] ^ (crcs << np.uint16(8))
-    level = 0
-    while crcs.shape[1] > 1:
-        left = crcs[:, 0::2]
-        crcs = _apply_shift(_shift_tables(level), left) ^ crcs[:, 1::2]
-        level += 1
-    return crcs[:, 0]
+        k = 1
+        while k * _CHUNK < b.size:
+            k <<= 1
+        groups.setdefault(k, []).append(i)
+    out = np.zeros(nf, dtype=np.uint16)
+    tabs = _slice_tables()
+    for k, idxs in groups.items():
+        total = k * _CHUNK
+        arr = np.zeros((len(idxs), total), dtype=np.uint8)
+        for r, i in enumerate(idxs):
+            b = bufs[i]
+            if b.size:
+                arr[r, total - b.size:] = b
+        # view chunks as big-endian byte PAIRS: one gather per two bytes
+        pairs = arr.view(">u2").reshape(len(idxs), k, _CHUNK // 2)
+        crcs = tabs[0][pairs[:, :, 0]]
+        for j in range(1, _CHUNK // 2):
+            crcs ^= tabs[j][pairs[:, :, j]]
+        level = 0
+        while crcs.shape[1] > 1:
+            left = crcs[:, 0::2]
+            crcs = _apply_shift(_shift_tables(level), left) ^ crcs[:, 1::2]
+            level += 1
+        out[np.asarray(idxs)] = crcs[:, 0]
+    return out
 
 
 def crc16(data: bytes | bytearray | memoryview | np.ndarray) -> int:
@@ -772,7 +809,32 @@ def _decode_frame(
     return samples, end + 2, off
 
 
-def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+def crc16_verify_batch(sink: list) -> np.ndarray:
+    """Verify deferred frame CRC-16s for MANY streams at once.
+
+    ``sink`` is a list of ``(frame_bufs, stored)`` entries as appended by
+    ``decode_flac(..., _crc_sink=sink)`` — one entry per decoded stream.
+    All frames of all streams go through ONE :func:`crc16_many` pass, so
+    the per-call numpy overhead (which dominates at ~6 frames/clip) is
+    amortized across the whole Arrow batch instead of paid per clip
+    (guide §4.2: hand whole batches to vectorized code). Returns a bool
+    array, ``True`` = every frame CRC of that stream matches."""
+    if not sink:
+        return np.zeros(0, dtype=bool)
+    all_bufs: list[np.ndarray] = []
+    for bufs, _ in sink:
+        all_bufs.extend(bufs)
+    want = crc16_many(all_bufs)
+    out = np.empty(len(sink), dtype=bool)
+    pos = 0
+    for i, (bufs, stored) in enumerate(sink):
+        n = len(bufs)
+        out[i] = np.array_equal(want[pos:pos + n], stored)
+        pos += n
+    return out
+
+
+def decode_flac(payload: bytes, _crc_sink: list | None = None) -> tuple[int, np.ndarray]:
     """Decode a FLAC stream -> (sr_hz, int16 samples): 1-D for mono,
     (n, channels) for multichannel. 16-bit; subframes CONSTANT /
     VERBATIM / FIXED / LPC; channel layouts independent 1-8 and
@@ -833,13 +895,22 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
 
     if frame_spans:  # batch-verify every frame CRC-16 in one pass
         buf = np.frombuffer(payload, dtype=np.uint8)
-        want = crc16_many([buf[s:e] for s, e in frame_spans])
+        bufs = [buf[s:e] for s, e in frame_spans]
         stored = np.array(
             [(payload[e] << 8) | payload[e + 1] for _, e in frame_spans],
             dtype=np.uint16,
         )
-        if not np.array_equal(want, stored):
-            raise ValueError("frame CRC-16 mismatch")
+        if _crc_sink is not None:
+            # deferral: the caller verifies all its streams' frames in
+            # ONE crc16_many pass (crc16_verify_batch) — same check,
+            # amortized numpy overhead. Only structural validity has
+            # been established here; the caller must treat a failed
+            # batch entry as an undecodable stream.
+            _crc_sink.append((bufs, stored))
+        else:
+            want = crc16_many(bufs)
+            if not np.array_equal(want, stored):
+                raise ValueError("frame CRC-16 mismatch")
 
     out = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
     if out.size and (out.max() > 32767 or out.min() < -32768):

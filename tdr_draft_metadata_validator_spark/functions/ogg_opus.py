@@ -13,8 +13,8 @@ CONTAINER level is the real specification, byte for byte —
   sequential page numbers, segment lacing (packets span pages via
   255-lacing continuation), and the Ogg CRC-32 (poly 0x04C11DB7,
   init 0, no reflection, no final xor) verified on EVERY page —
-  vectorized across pages with the same chunk-parallel table fold +
-  GF(2) shift-map combine as :mod:`flac_codec`'s CRC-16.
+  computed at C speed through zlib via the bit-reflection identity
+  (see the CRC section below).
 - **OpusHead / OpusTags** (RFC 7845 §5): magic, version 1, channel
   count, pre-skip, input sample rate, output gain, mapping family 0;
   the header's sample rate is what decode returns.
@@ -38,6 +38,7 @@ three ways, never faked silently:
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -49,95 +50,42 @@ _SAMPLES_PER_PACKET = 960  # 20 ms at 48 kHz — the canonical Opus frame
 _MAX_SEGS_PER_PAGE = 255
 
 # -- Ogg CRC-32 (poly 0x04C11DB7, init 0, no reflect, no xorout) -------------
+#
+# Computed through zlib's C CRC engine via the bit-reflection identity:
+# a non-reflected CRC with poly P equals the bit-reversed reflected CRC
+# (poly = bitrev(P) = 0xEDB88320, zlib's polynomial) of the byte-wise
+# bit-reversed message. zlib.crc32(d, v) applies ~pre/~post conditioning
+# around the raw reflected update, so the raw update from state 0 is
+# ~zlib.crc32(d, 0xFFFFFFFF). Equivalence with the table-driven
+# definition is pinned in tests (r7: replaced a vectorized numpy GF(2)
+# fold that cost ~0.9 ms/clip of pure numpy-call overhead in the decode
+# gate with ~0.07 ms/clip of C: translate + zlib.crc32).
 
-_POLY = 0x04C11DB7
-
-
-def _build_table() -> np.ndarray:
-    t = np.zeros(256, dtype=np.uint32)
-    for b in range(256):
-        r = b << 24
-        for _ in range(8):
-            r = ((r << 1) ^ _POLY if r & 0x80000000 else r << 1) & 0xFFFFFFFF
-        t[b] = r
-    return t
-
-
-_CRC32_TABLE = _build_table()
-_CHUNK = 16  # bytes folded per chunk (same overhead profile as flac_codec)
-
-# a GF(2)-linear map on the 32-bit CRC state is four 256-entry tables,
-# one per state byte: F(x) = T3[x>>24] ^ T2[..] ^ T1[..] ^ T0[x&0xFF]
-_shift_cache: list[tuple[np.ndarray, ...]] = []  # [l] = shift by _CHUNK*2^l zero bytes
+_BITREV_BYTES = bytes(int(format(i, "08b")[::-1], 2) for i in range(256))
 
 
-def _apply_shift(tabs: tuple[np.ndarray, ...], x: np.ndarray) -> np.ndarray:
-    t3, t2, t1, t0 = tabs
-    return (t3[(x >> np.uint32(24)) & np.uint32(0xFF)]
-            ^ t2[(x >> np.uint32(16)) & np.uint32(0xFF)]
-            ^ t1[(x >> np.uint32(8)) & np.uint32(0xFF)]
-            ^ t0[x & np.uint32(0xFF)])
+def _bitrev32(x: int) -> int:
+    x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    return ((x << 16) | (x >> 16)) & 0xFFFFFFFF
 
 
-def _shift_tables(level: int) -> tuple[np.ndarray, ...]:
-    if not _shift_cache:
-        b = np.arange(256, dtype=np.uint32)
-        # shift by ONE zero byte: s' = TABLE[s>>24] ^ (s<<8)
-        one = (
-            _CRC32_TABLE[b].copy(),               # byte 3 of the state
-            ((b << np.uint32(24))).astype(np.uint32),
-            ((b << np.uint32(16))).astype(np.uint32),
-            ((b << np.uint32(8))).astype(np.uint32),
-        )
-        t = one
-        for _ in range(_CHUNK.bit_length() - 1):  # double 1 -> _CHUNK
-            t = tuple(_apply_shift(t, tab) for tab in t)
-        _shift_cache.append(t)
-    while len(_shift_cache) <= level:
-        t = _shift_cache[-1]
-        _shift_cache.append(tuple(_apply_shift(t, tab) for tab in t))
-    return _shift_cache[level]
+def crc32_ogg(data) -> int:
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    rev = bytes(data).translate(_BITREV_BYTES)
+    return _bitrev32((~zlib.crc32(rev, 0xFFFFFFFF)) & 0xFFFFFFFF)
 
 
 def crc32_ogg_many(pages: list) -> np.ndarray:
-    """Ogg CRC-32 of each byte string in ``pages``, one vectorized pass.
-
-    Front-padding with zero bytes is a no-op for this CRC (init 0), so
-    pages pad to a common power-of-two chunk count; the table update
-    runs data-parallel across (page, chunk) and per-chunk CRCs fold
-    pairwise through precomputed GF(2) shift maps — per-call Python
-    cost is O(_CHUNK + log(max_len)) numpy ops regardless of page count."""
-    npg = len(pages)
-    if npg == 0:
+    """Ogg CRC-32 of each byte string in ``pages`` (uint32 array out).
+    Per-page C-speed passes (translate + zlib.crc32); page counts per
+    clip are small, so the Python loop is negligible."""
+    if not pages:
         return np.zeros(0, dtype=np.uint32)
-    bufs = [
-        p if isinstance(p, np.ndarray) else np.frombuffer(bytes(p), dtype=np.uint8)
-        for p in pages
-    ]
-    maxlen = max(b.size for b in bufs)
-    k = 1
-    while k * _CHUNK < maxlen:
-        k <<= 1
-    total = k * _CHUNK
-    arr = np.zeros((npg, total), dtype=np.uint8)
-    for i, b in enumerate(bufs):
-        if b.size:
-            arr[i, total - b.size:] = b
-    chunks = arr.reshape(npg, k, _CHUNK)
-    crcs = np.zeros((npg, k), dtype=np.uint32)
-    for j in range(_CHUNK):
-        idx = ((crcs >> np.uint32(24)) ^ chunks[:, :, j]) & np.uint32(0xFF)
-        crcs = _CRC32_TABLE[idx] ^ (crcs << np.uint32(8))
-    level = 0
-    while crcs.shape[1] > 1:
-        left = crcs[:, 0::2]
-        crcs = _apply_shift(_shift_tables(level), left) ^ crcs[:, 1::2]
-        level += 1
-    return crcs[:, 0]
-
-
-def crc32_ogg(data: bytes) -> int:
-    return int(crc32_ogg_many([data])[0])
+    return np.array([crc32_ogg(p) for p in pages], dtype=np.uint32)
 
 
 # -- page layer --------------------------------------------------------------

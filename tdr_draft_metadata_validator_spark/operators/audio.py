@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.audio_codec import decode, snr_db, to_mono
+from ..functions.flac_codec import crc16_verify_batch
 from ..messages import resolve
 from ..models import PROCESS_AUDIO
 from .relational import choose_join_side
@@ -53,11 +54,15 @@ _FP_SCHEMA = T.StructType(
         # payload truth for the metadata-consistency check (r6): the
         # sample rate the container/frames declare and the decoded
         # per-channel frame count — compared against the table's
-        # sr_hz/dur_ms columns JVM-side (pure Column predicates)
-        T.StructField("decoded_sr", T.IntegerType(), True),
+        # sr_hz/dur_ms columns JVM-side (pure Column predicates).
+        # decoded_sr/sr_hz are Int64: WAV fmt and OpusHead carry u32
+        # rates, so a structurally-valid payload can declare a rate
+        # above int32 max — an Int32 column would crash the worker
+        # ('cannot safely cast') instead of emitting a violation row.
+        T.StructField("decoded_sr", T.LongType(), True),
         T.StructField("n_frames", T.LongType(), True),
-        T.StructField("sr_hz", T.IntegerType(), True),
-        T.StructField("dur_ms", T.IntegerType(), True),
+        T.StructField("sr_hz", T.LongType(), True),
+        T.StructField("dur_ms", T.LongType(), True),
     ]
 )
 
@@ -75,14 +80,35 @@ _EMPTY_DATA = "array<struct<name:string,value:string>>"
 def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Stage-1 worker: decode + md5 of the decoded little-endian PCM16,
     plus the payload's decoded sample rate / frame count (metadata-
-    consistency inputs; declared sr_hz/dur_ms pass through untouched)."""
+    consistency inputs; declared sr_hz/dur_ms pass through untouched).
+
+    FLAC frame CRC-16s are DEFERRED per batch (decode collects them in
+    a sink; one crc16_verify_batch pass verifies every frame of every
+    clip in the batch) — same check, numpy call overhead amortized
+    across clips instead of paid per clip. A clip whose batch CRC entry
+    fails is flipped to an undecodable row, exactly as the inline check
+    would have produced."""
     for pdf in batches:
-        has_meta = "sr_hz" in pdf.columns
+        # gate each metadata column independently: a table can carry
+        # sr_hz without dur_ms (or vice versa) — reading the absent one
+        # unconditionally would KeyError in the executor
+        has_sr = "sr_hz" in pdf.columns
+        has_dur = "dur_ms" in pdf.columns
+        n = len(pdf)
+        in_ids = pdf["clip_id"].tolist()
+        in_bytes = pdf["bytes"].tolist()
+        in_codec = pdf["codec"].tolist()
         ids, oks, errs, fps, srs, frames = [], [], [], [], [], []
-        for row in range(len(pdf)):
-            ids.append(pdf["clip_id"].iat[row])
+        crc_sink: list = []
+        crc_rows: list[int] = []  # row index per sink entry
+        for row in range(n):
+            ids.append(in_ids[row])
             try:
-                sr, samples = decode(pdf["bytes"].iat[row], pdf["codec"].iat[row])
+                sink_len = len(crc_sink)
+                sr, samples = decode(in_bytes[row], in_codec[row],
+                                     flac_crc_sink=crc_sink)
+                if len(crc_sink) > sink_len:
+                    crc_rows.append(row)
             except ValueError as exc:
                 oks.append(False)
                 errs.append(str(exc))
@@ -100,18 +126,27 @@ def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             # its invariant is its downmix vs the reference
             samples = to_mono(samples)
             fps.append(hashlib.md5(np.ascontiguousarray(samples, dtype="<i2").tobytes()).hexdigest())
+        if crc_sink:
+            ok_crc = crc16_verify_batch(crc_sink)
+            for k, row in enumerate(crc_rows):
+                if not ok_crc[k]:
+                    oks[row] = False
+                    errs[row] = "frame CRC-16 mismatch"
+                    fps[row] = None
+                    srs[row] = None
+                    frames[row] = None
         yield pd.DataFrame(
             {
                 "clip_id": ids,
                 "decode_ok": oks,
                 "decode_err": errs,
                 "pcm_md5": fps,
-                "decoded_sr": pd.array(srs, dtype="Int32"),
+                "decoded_sr": pd.array(srs, dtype="Int64"),
                 "n_frames": pd.array(frames, dtype="Int64"),
-                "sr_hz": (pdf["sr_hz"].astype("Int32").values
-                          if has_meta else pd.array([None] * len(pdf), dtype="Int32")),
-                "dur_ms": (pdf["dur_ms"].astype("Int32").values
-                           if has_meta else pd.array([None] * len(pdf), dtype="Int32")),
+                "sr_hz": (pdf["sr_hz"].astype("Int64").values
+                          if has_sr else pd.array([None] * n, dtype="Int64")),
+                "dur_ms": (pdf["dur_ms"].astype("Int64").values
+                           if has_dur else pd.array([None] * n, dtype="Int64")),
             }
         )
 
@@ -124,8 +159,12 @@ def _snr_check(threshold_db: float, duration_tolerance_ms: int | None = None):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            check_meta = (duration_tolerance_ms is not None
-                          and "sr_hz" in pdf.columns)
+            # gate each metadata column independently (a table can carry
+            # one of sr_hz/dur_ms without the other)
+            check_sr = (duration_tolerance_ms is not None
+                        and "sr_hz" in pdf.columns)
+            check_dur = (duration_tolerance_ms is not None
+                         and "dur_ms" in pdf.columns)
             ids, keys, details = [], [], []
             for row in range(len(pdf)):
                 try:
@@ -135,14 +174,19 @@ def _snr_check(threshold_db: float, duration_tolerance_ms: int | None = None):
                     keys.append("undecodable")
                     details.append(str(exc))
                     continue
-                if check_meta:
+                if check_sr:
                     declared_sr = pdf["sr_hz"].iat[row]
-                    declared_ms = pdf["dur_ms"].iat[row]
                     if declared_sr is not None and int(declared_sr) != sr:
                         ids.append(pdf["clip_id"].iat[row])
                         keys.append("sampleRateMismatch")
                         details.append(f"decoded_sr={sr} declared={declared_sr}")
-                    decoded_ms = round(samples.shape[0] * 1000.0 / sr)
+                if check_dur:
+                    declared_ms = pdf["dur_ms"].iat[row]
+                    # floor(x+0.5) = Spark F.round's HALF_UP on the
+                    # positive values here — one rounding convention in
+                    # both modes (Python round() is half-to-even and can
+                    # disagree at exact .5 ms boundaries)
+                    decoded_ms = int(np.floor(samples.shape[0] * 1000.0 / sr + 0.5))
                     if (declared_ms is not None
                             and abs(decoded_ms - int(declared_ms))
                             > duration_tolerance_ms):
@@ -271,13 +315,15 @@ def audio_invariants(
 
     fp = src.mapInPandas(_decode_fingerprint, _FP_SCHEMA)
 
-    if ref is not None:
-        # Materialize the fingerprint frame ONCE (eager local checkpoint):
-        # it feeds three consumers (undecodable branch, hash join, residue
-        # semi-joins) whose lineage would otherwise each re-run the whole
-        # decode. Storage is O(keys) — ~60 B/row vs ~50 KB/row of input
-        # (0.1%), distributed across executors, never the driver.
-        fp = fp.localCheckpoint(eager=True)
+    # Materialize the fingerprint frame ONCE (eager local checkpoint): it
+    # ALWAYS feeds multiple consumers — with ref: undecodable branch,
+    # hash join, residue semi-joins; without ref: undecodable branch plus
+    # the two metadata-consistency branches — whose lineage would
+    # otherwise each re-run the whole decode (a 3x decode regression in
+    # decodability-only mode). Storage is O(keys) — ~60 B/row vs
+    # ~50 KB/row of input (0.1%), distributed across executors, never
+    # the driver.
+    fp = fp.localCheckpoint(eager=True)
 
     undecodable = _violation_rows(
         fp.where(~F.col("decode_ok")).select(F.col("clip_id").alias("asset_id")),

@@ -539,27 +539,35 @@ def near_dup_components(
     )
     rounds = 0
     for _ in range(max_iter):
+        # r7 round shape (guide §2.4 — one exchange fewer, one job fewer
+        # per round): neighbor labels UNION the old labels feed a single
+        # groupBy(id) that yields BOTH the new min-label and the old one
+        # (min over the tagged old rows — exactly one per id), replacing
+        # the old join+groupBy+left-join chain. The convergence flag is
+        # a column of the same aggregate, and the scalar max(__chg) agg
+        # is the SAME job that materializes the lazy localCheckpoint —
+        # one Spark job per round instead of checkpoint-job + count-job.
         neigh = (
             edges.join(labels, edges["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nc"))
+            .select(F.col("a").alias("id"), "component",
+                    F.lit(False).alias("__old"))
         )
-        # the changed flag is computed INSIDE the round's projection and
-        # rides the checkpoint, so the convergence probe is a filter over
-        # checkpointed data — not a second labels-vs-labels join per round
-        new_comp = F.least(
-            F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+        unioned = neigh.unionByName(
+            labels.select("id", "component", F.lit(True).alias("__old"))
         )
         new_labels = (
-            labels.join(neigh, labels["id"] == neigh["a"], "left")
-            .select(
-                labels["id"],
-                new_comp.alias("component"),
-                (new_comp != F.col("component")).alias("__chg"),
+            unioned.groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("__old"), F.col("component"))).alias("__oldc"),
             )
-            .localCheckpoint(eager=True)
+            .select(
+                "id", "component",
+                (F.col("component") != F.col("__oldc")).alias("__chg"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        changed = new_labels.agg(F.max("__chg")).first()[0]
         labels = new_labels.select("id", "component")
         rounds += 1
         if not changed:
@@ -616,54 +624,62 @@ def near_dup_components_star(
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the final join only
     )
+    wu = Window.partitionBy("u")
+
+    # r7 round shape (guide §2.4): the per-node neighborhood min comes
+    # from a WINDOW over the one hash-partition-by-u exchange instead of
+    # a groupBy + self-join on u — one exchange per star instead of two
+    # (the groupBy and the join each shuffled the edge frame by u).
+    # large-star's intermediate .distinct() is dropped: small-star's
+    # final .distinct() canonicalizes the edge SET either way (duplicate
+    # intermediate rows only ride one union, never the fixpoint test).
 
     def _large_star(edges: DataFrame) -> DataFrame:
         nbrs = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
-        mins = mins.select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        with_m = nbrs.withColumn(
+            "m", F.least(F.min("v").over(wu), F.col("u"))
+        )
         return (
-            nbrs.join(mins, on="u")
-            .where(F.col("v") > F.col("u"))
+            with_m.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(edges: DataFrame) -> DataFrame:
         directed = edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-        to_m = directed.join(mins, on="u").select(
-            F.col("v").alias("u"), F.col("m").alias("v")
-        )
-        self_m = mins.select(F.col("u"), F.col("m").alias("v"))
+        with_m = directed.withColumn("m", F.min("v").over(wu))
+        to_m = with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_m = with_m.select("u", F.col("m").alias("v")).distinct()
         return (
             to_m.unionByName(self_m)
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
 
-    def _sig(edges: DataFrame) -> tuple[int, int]:
+    def _sig_row(edges: DataFrame):
         """(count, xxhash64 content sum) — an order/partitioning-invariant
-        edge-set signature, one agg over checkpointed data."""
-        row = edges.agg(
+        edge-set signature. Run as the SAME job that materializes the
+        round's lazy localCheckpoint (one Spark job per round where the
+        eager-checkpoint + collect pair used to take two)."""
+        return edges.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) accumulator: a long sum overflows under ANSI
             F.coalesce(
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
             ).alias("h"),
         ).collect()[0]
-        return int(row["n"]), int(row["h"])
 
     rounds = 0
-    prev_sig = _sig(e)
+    row = _sig_row(e)
+    prev_sig = (int(row["n"]), int(row["h"]))
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         rounds += 1
         # two-tier fixpoint test: a cheap signature (count + hash sum)
         # gates the rounds — only when it matches does the EXACT
@@ -672,7 +688,8 @@ def near_dup_components_star(
         # silently hand back wrong components). Both frames are distinct
         # by construction, so one-direction exceptAll + equal counts is
         # a full set-equality check.
-        sig = _sig(new_e)
+        row = _sig_row(new_e)  # full-pass agg: also materializes the checkpoint
+        sig = (int(row["n"]), int(row["h"]))
         same = sig == prev_sig and new_e.exceptAll(e).limit(1).count() == 0
         e, prev_sig = new_e, sig
         if same:

@@ -38,6 +38,44 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+# r7 — bit-exact numpy replicas of the Column folds above. Spark's
+# higher-order functions (aggregate/zip_with) are interpreted per
+# element, and embedding a K x dim codebook as plan literals makes
+# Catalyst analysis itself the bottleneck (deep Add chains measured
+# SLOWER than the interpreted fold). The fast path is the guide §4.2
+# shape — whole batches into vectorized numpy — but ACCUMULATED IN THE
+# SAME LEFT-ASSOCIATED ORDER as the Column fold (one fused
+# multiply-add per dimension across the row batch, NOT BLAS matmul,
+# whose blocked summation reorders additions): identical operand
+# values + identical association = IEEE-identical doubles, so every
+# oracle row that replicates the fold term-by-term in SQL still
+# matches bit-for-bit.
+
+
+def _seq_dots_np(x: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """(n, d) x (K, d) -> (n, K) dots, left-assoc accumulation over d
+    (acc = (acc + x_i * c_i) per element — Spark's aggregate order)."""
+    out = np.zeros((x.shape[0], mat.shape[0]), dtype=np.float64)
+    for i in range(x.shape[1]):
+        out += x[:, i:i + 1] * mat[None, :, i]
+    return out
+
+
+def _seq_norms_np(x: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n,) L2 norms, left-assoc accumulation over d."""
+    acc = np.zeros(x.shape[0], dtype=np.float64)
+    for i in range(x.shape[1]):
+        acc += x[:, i] * x[:, i]
+    return np.sqrt(acc)
+
+
+def _is_double_vec(df: DataFrame, vec_col: str) -> bool:
+    from pyspark.sql import types as T
+
+    f = df.schema[vec_col].dataType
+    return isinstance(f, T.ArrayType) and isinstance(f.elementType, T.DoubleType)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -129,7 +167,47 @@ def lsh_buckets(
         )
     planes = hyperplanes(dim, n_planes, seed)
     if planes_mode == "auto":
-        planes_mode = "literal" if n_planes * dim <= codegen_term_limit else "broadcast"
+        # r7: numpy signature pass for array<double> inputs — the plane
+        # matrix rides the task closure (O(1) plan size at any
+        # n_planes x dim, no codegen of n_planes*dim literal terms);
+        # left-assoc folds (_seq_dots_np) make every sign decision
+        # IEEE-identical to the literal mode and the SQL oracle.
+        if _is_double_vec(emb, vec_col):
+            planes_mode = "numpy"
+        else:
+            planes_mode = "literal" if n_planes * dim <= codegen_term_limit else "broadcast"
+    if planes_mode == "numpy":
+        pl_np = np.array(planes, dtype=np.float64)
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                bits = _seq_dots_np(x, pl_np) >= 0
+                sigs = [
+                    "".join("1" if b else "0" for b in row) for row in bits
+                ]
+                yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "sig": sigs})
+
+        base = emb.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(vec_col).alias("v"),
+        ).mapInPandas(run, f"id string, v array<double>, sig string")
+        per_band = n_planes // bands
+        chunks = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring(F.col("sig"), i * per_band + 1, per_band).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+        return base.select(
+            "id", "v", F.explode(F.array(*chunks)).alias("c")
+        ).select("id", "v", F.col("c.band").alias("band"),
+                 F.col("c.bucket").alias("bucket"))
     if planes_mode == "literal":
         base = emb
         sig = lsh_signature(F.col(vec_col), planes)
@@ -210,8 +288,17 @@ def ivf_topk(
       column on a broadcast 1-row frame; dots are computed with
       ``transform``/``aggregate``/``zip_with`` over it — plan size is
       O(1) in K x dim, data ships once per executor.
-    - ``"auto"`` (default): literal while n_centroids * dim <=
-      ``codegen_term_limit``, else broadcast.
+    - ``"numpy"`` (r7, the fast path — chosen by ``"auto"`` for
+      array<double> inputs): assignment + candidate scoring run as ONE
+      Arrow ``mapInPandas`` pass with the codebook in the task closure
+      (O(1) plan size at ANY K, no broadcast join, no interpreted
+      higher-order functions). Accumulation is the left-associated
+      per-dimension fold (:func:`_seq_dots_np`), so every cosine and
+      every argmax decision is IEEE-identical to the literal mode and
+      the SQL oracle. Guide §4.2: batches into vectorized numpy.
+    - ``"auto"`` (default): numpy for array<double> columns; otherwise
+      literal while n_centroids * dim <= ``codegen_term_limit``, else
+      broadcast.
     """
     if dim is None:
         raise ValueError("dim is required (embedding dimensionality)")
@@ -219,9 +306,25 @@ def ivf_topk(
     q_vec_col = q_vec_col or vec_col
     cents = ivf_centroids(dim, n_centroids, seed)
     if codebook == "auto":
-        codebook = "literal" if n_centroids * dim <= codegen_term_limit else "broadcast"
-    if codebook not in ("literal", "broadcast"):
+        if _is_double_vec(emb, vec_col) and _is_double_vec(queries, q_vec_col):
+            codebook = "numpy"
+        else:
+            codebook = "literal" if n_centroids * dim <= codegen_term_limit else "broadcast"
+    if codebook not in ("literal", "broadcast", "numpy"):
         raise ValueError(f"unknown codebook mode {codebook!r}")
+
+    if codebook == "numpy":
+        scored = _ivf_scored_numpy(
+            emb, queries, n_probe, cents, id_col, vec_col,
+            q_id_col, q_vec_col, dim,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
 
     if codebook == "literal":
         cent_lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
@@ -290,6 +393,82 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def _ivf_scored_numpy(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_probe: int,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) for all probed-cell candidates —
+    the ivf_topk "numpy" fast path. Queries are collected driver-side
+    (few by contract, the same shape as pq_topk's LUT build); probe
+    selection replicates row_number over (dot desc, centroid); the
+    corpus pass assigns + scores whole Arrow batches with left-assoc
+    folds, so values are bit-identical to the Column/literal path.
+    Rounding stays in the JVM (F.round = HALF_UP, not numpy's
+    half-even)."""
+    cents_np = np.array(cents, dtype=np.float64)
+    q_rows = queries.select(
+        F.col(q_id_col).cast("string").alias("qid"),
+        F.col(q_vec_col).alias("qv"),
+    ).collect()
+    probes: dict[int, list] = {}  # centroid -> [(qid, qv, qn), ...]
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        if qv.shape != (dim,):
+            raise ValueError(f"query dim {qv.shape} != dim={dim}")
+        qn = float(_seq_norms_np(qv[None, :])[0])
+        ds = _seq_dots_np(qv[None, :], cents_np)[0]
+        # top-n_probe by (dot desc, centroid asc) — the window's order
+        order = sorted(range(len(ds)), key=lambda c: (-ds[c], c))[:n_probe]
+        for c in order:
+            probes.setdefault(c, []).append((r["qid"], qv, qn))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            cn = _seq_norms_np(x)
+            # argmax keeps the FIRST max — same tie rule as the
+            # array_position-of-max projection and the oracle
+            assign = _seq_dots_np(x, cents_np).argmax(axis=1)
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for c, qs in probes.items():
+                mask = assign == c
+                if not mask.any():
+                    continue
+                xm, cm, im = x[mask], cn[mask], ids[mask]
+                for qid, qv, qn in qs:
+                    dots = _seq_dots_np(xm, qv[None, :])[:, 0]
+                    frames.append(pd.DataFrame({
+                        "query_id": qid,
+                        "neighbor_id": im,
+                        "cosine_raw": dots / (qn * cm),
+                    }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    src = emb.select(
+        F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v")
+    )
+    scored = src.mapInPandas(
+        run, "query_id string, neighbor_id string, cosine_raw double"
+    )
+    return scored.where(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id",
+        F.round(F.col("cosine_raw"), 6).alias("cosine"),
     )
 
 

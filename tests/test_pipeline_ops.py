@@ -558,17 +558,34 @@ def test_ivf_broadcast_codebook_matches_literal_and_bounds_plan(spark, emb):
         ).collect()
     )
     assert lit_out == bc_out
-    # auto mode: 16*64=1024 <= 4096 stays literal; bump K -> broadcast
+    # r7: the numpy fast path (auto's pick for array<double>) must match
+    # the literal plan bit-for-bit — left-assoc folds, same tie rules
+    np_out = sorted(
+        tuple(r) for r in similarity.ivf_topk(
+            e, q, k=5, n_centroids=16, n_probe=4, dim=64, codebook="numpy"
+        ).collect()
+    )
+    assert lit_out == np_out
+    # auto on array<double> -> numpy: codebook rides the task closure,
+    # plan stays O(1) in K x dim at any size
     big = similarity.ivf_topk(
         e.limit(50), q, k=3, n_centroids=256, n_probe=4, dim=64,
         codebook="auto",
     )
     plan = big._jdf.queryExecution().optimizedPlan().toString()
-    # 256*64 = 16384 terms > 4096 -> the codebook must NOT be inlined:
-    # plan stays small and carries the broadcast codebook column
     assert len(plan) < 120_000
-    assert "__cb" in plan
+    assert "cosine_raw" in plan  # the numpy scoring pass
     assert big.count() >= 0  # executes
+    # broadcast mode stays available for non-double inputs / explicit
+    # request: 256*64 = 16384 terms must NOT be inlined
+    big_bc = similarity.ivf_topk(
+        e.limit(50), q, k=3, n_centroids=256, n_probe=4, dim=64,
+        codebook="broadcast",
+    )
+    plan_bc = big_bc._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_bc) < 120_000
+    assert "__cb" in plan_bc
+    assert big_bc.count() >= 0
 
     # plan-size assertion at 256x256 (the judge's stated size): building
     # the broadcast plan is cheap and bounded; a literal plan would embed
@@ -604,10 +621,23 @@ def test_lsh_broadcast_planes_match_literal(spark, emb):
         ).collect()
     )
     assert lit_pairs == bc_pairs and lit_pairs
-    # auto switches to broadcast past the term limit: plan stays bounded
+    # r7: the numpy signature pass (auto's pick for array<double>) must
+    # produce the same pairs bit-for-bit
+    np_pairs = sorted(
+        tuple(r) for r in similarity.lsh_near_dups(
+            e, threshold=0.3, n_planes=9, bands=3, dim=64, planes_mode="numpy"
+        ).collect()
+    )
+    assert np_pairs == lit_pairs
+    # auto on array<double> -> numpy: plan stays bounded at any size
     big = similarity.lsh_buckets(e.limit(20), n_planes=128, bands=8, dim=64)
     plan = big._jdf.queryExecution().optimizedPlan().toString()
-    assert "__pl" in plan and len(plan) < 120_000
+    assert len(plan) < 120_000
+    # broadcast mode stays available on explicit request, plan bounded
+    big_bc = similarity.lsh_buckets(e.limit(20), n_planes=128, bands=8,
+                                    dim=64, planes_mode="broadcast")
+    plan_bc = big_bc._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pl" in plan_bc and len(plan_bc) < 120_000
 
 
 def test_redact_pii_and_extract_domains(spark):
