@@ -473,13 +473,19 @@ def q_incremental_lsh_candidates(spark, sf):
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     root = os.path.join(tempfile.gettempdir(), "spark_graft_sigstore_oracle")
     shutil.rmtree(root, ignore_errors=True)
+    # store_buckets=4 (r7): the pinned (band, bp) grid is physical
+    # LAYOUT only — candidate pairs are identical under any grid — and
+    # a 140-doc store has no business committing 4x16=64 partition
+    # directories per batch (the dynamic-partition commit was ~60% of
+    # each append's wall). Production sizes the grid to the corpus;
+    # bench.py's flatness lanes keep their own default-16 stores.
     incremental.append_signatures(
         docs.where(F.col("doc_id") >= 130), root,
-        num_hashes=16, bands=4, n=1, lane="md5",
+        num_hashes=16, bands=4, n=1, lane="md5", store_buckets=4,
     )
     incremental.append_signatures(
         docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 130)), root,
-        num_hashes=16, bands=4, n=1, lane="md5",
+        num_hashes=16, bands=4, n=1, lane="md5", store_buckets=4,
     )
     return incremental.incremental_lsh_candidates(
         spark, docs.where(F.col("doc_id") < 60), root

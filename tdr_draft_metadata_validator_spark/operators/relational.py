@@ -99,30 +99,39 @@ def unknown_rows(clips: DataFrame, ref: DataFrame, key: str = "clip_id") -> Data
 
 def duplicate_rows(clips: DataFrame, key: str = "clip_id",
                    salt_buckets: int = 0) -> DataFrame:
-    """A1 (RowValidator.scala:28-36): clip_id uniqueness via an EXPLICIT
-    salted two-phase aggregate (north_rule).
+    """A1 (RowValidator.scala:28-36): clip_id uniqueness via a two-phase
+    aggregate (north_rule) — partial map-side counts, then one exchange
+    of (key, partial_count).
 
-    Phase 1 groups by (key, salt) — a hot key is spread over up to
-    ``salt_buckets`` reducers; phase 2 re-groups by key alone over the
-    already-tiny partial counts. ``salt = spark_partition_id()`` keeps the
-    job deterministic (no rand()) while still fanning a hot key across
-    however many input partitions it occupies. ``salt_buckets`` caps the
-    fan-out (0 = one salt per input partition).
+    r7: the two phases come from Spark's own HashAggregate split
+    (partial_count before the exchange, final merge after — visible in
+    the plan as ``HashAggregate(keys=[key], functions=[partial_count]) ->
+    Exchange -> HashAggregate(count)``), which is EXACTLY the salted
+    shape this operator used to build by hand with
+    ``spark_partition_id()``: a hot key contributes at most one partial
+    row per input partition to the shuffle either way. The hand-rolled
+    version paid a second Exchange for the re-group by bare key; this
+    one doesn't (guide §2.3 "aggregate before you shuffle" / §2.4).
+    Pass ``salt_buckets`` > 0 to force the explicit salted form (kept
+    for aggregates where the partial state itself could be pathological;
+    for count it never is).
 
     The reference's multiset-diff leaves one entry per EXTRA occurrence
     but the Semigroup merge dedups per asset (trap list, SURVEY.md §7), so
     the observable output is one 'duplicate' violation per duplicated key
     — exactly what count>1 emits.
     """
-    salt = F.spark_partition_id()
     if salt_buckets:
-        salt = F.pmod(salt, F.lit(salt_buckets))
-    partial = (
-        clips.select(F.col(key), salt.alias("__salt"))
-        .groupBy(key, "__salt")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    total = partial.groupBy(key).agg(F.sum("__c").alias("__n")).where(F.col("__n") > 1)
+        salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+        partial = (
+            clips.select(F.col(key), salt.alias("__salt"))
+            .groupBy(key, "__salt")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        total = partial.groupBy(key).agg(F.sum("__c").alias("__n"))
+    else:
+        total = clips.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    total = total.where(F.col("__n") > 1)
     return total.select(*_violation(F.col(key), "duplicate"))
 
 

@@ -469,6 +469,47 @@ def embedding_near_dups(
 # 6. near-dup clustering — connected components over candidate pairs
 # ---------------------------------------------------------------------------
 
+class _cc_round_conf:
+    """Scale-adaptive tuning for the iterative CC loops (guide §2:
+    partitioning must derive from input size, not a constant). Each
+    round is a tiny query over the checkpointed edge frame; with the
+    session's default shuffle partitioning + AQE, every round pays
+    ~4 jobs of AQE stage materialization and a core-count worth of
+    near-empty tasks per exchange — measured ~40 ms/job on 65-row
+    frames, i.e. the ROUNDS dominated by scheduling, not data. While
+    the edge count is small enough that the derived partition count
+    (edges / 500k rows, ~20 MB/partition) is below the session
+    default, the loop runs with that partition count and AQE off (no
+    per-round re-planning; nothing to coalesce or skew-split at that
+    size). Big graphs keep the session defaults untouched — including
+    AQE skew handling, which matters there. Conf is restored on exit;
+    rounds execute their actions inside the loop, so only round
+    queries see the override."""
+
+    ROWS_PER_PART = 500_000
+
+    def __init__(self, spark, n_edges: int) -> None:
+        self._spark = spark
+        self._n = n_edges
+        self._prev: tuple[str, str] | None = None
+
+    def __enter__(self):
+        conf = self._spark.conf
+        default = int(conf.get("spark.sql.shuffle.partitions"))
+        npart = max(1, min(default, -(-self._n // self.ROWS_PER_PART)))
+        if npart < default:
+            self._prev = (str(default), conf.get("spark.sql.adaptive.enabled"))
+            conf.set("spark.sql.shuffle.partitions", str(npart))
+            conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev[0])
+            self._spark.conf.set("spark.sql.adaptive.enabled", self._prev[1])
+        return False
+
+
 def near_dup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -537,6 +578,13 @@ def near_dup_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()  # materializes the checkpoint; sizes the rounds
+    rounds = 0
+    with _cc_round_conf(pairs.sparkSession, n_edges):
+        return _minlabel_rounds(edges, labels, max_iter, rounds_out)
+
+
+def _minlabel_rounds(edges, labels, max_iter, rounds_out):
     rounds = 0
     for _ in range(max_iter):
         # r7 round shape (guide §2.4 — one exchange fewer, one job fewer
@@ -678,23 +726,27 @@ def near_dup_components_star(
     rounds = 0
     row = _sig_row(e)
     prev_sig = (int(row["n"]), int(row["h"]))
-    for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        rounds += 1
-        # two-tier fixpoint test: a cheap signature (count + hash sum)
-        # gates the rounds — only when it matches does the EXACT
-        # symmetric-difference probe run, ONCE, to rule out a hash
-        # collision (never break on a signature alone: a collision would
-        # silently hand back wrong components). Both frames are distinct
-        # by construction, so one-direction exceptAll + equal counts is
-        # a full set-equality check.
-        row = _sig_row(new_e)  # full-pass agg: also materializes the checkpoint
-        sig = (int(row["n"]), int(row["h"]))
-        same = sig == prev_sig and new_e.exceptAll(e).limit(1).count() == 0
-        e, prev_sig = new_e, sig
-        if same:
-            break
-    else:
+    converged = False
+    # rounds sized by the measured edge count (see _cc_round_conf)
+    with _cc_round_conf(pairs.sparkSession, prev_sig[0]):
+        for _ in range(max_iter):
+            new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            rounds += 1
+            # two-tier fixpoint test: a cheap signature (count + hash sum)
+            # gates the rounds — only when it matches does the EXACT
+            # symmetric-difference probe run, ONCE, to rule out a hash
+            # collision (never break on a signature alone: a collision would
+            # silently hand back wrong components). Both frames are distinct
+            # by construction, so one-direction exceptAll + equal counts is
+            # a full set-equality check.
+            row = _sig_row(new_e)  # full-pass agg: also materializes the checkpoint
+            sig = (int(row["n"]), int(row["h"]))
+            same = sig == prev_sig and new_e.exceptAll(e).limit(1).count() == 0
+            e, prev_sig = new_e, sig
+            if same:
+                converged = True
+                break
+    if not converged:
         raise RuntimeError(
             f"near_dup_components_star did not converge in {max_iter} "
             "rounds; raise max_iter"
