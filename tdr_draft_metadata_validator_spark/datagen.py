@@ -179,7 +179,8 @@ def clips_batch(indices: np.ndarray, seed: int = SEED,
 
 def ref_batch(indices: np.ndarray, seed: int = SEED,
               dur_min: int = 200, dur_max: int = 2000,
-              extended_every: int | None = None) -> pd.DataFrame:
+              extended_every: int | None = None,
+              ulaw_every: int | None = None) -> pd.DataFrame:
     """Reference rows. With ``extended_every`` matching the clips table,
     the ima_adpcm slots store the DECODE of the ADPCM master as ref_pcm:
     4-bit ADPCM of half-scale tonal content measures 14-28 dB SNR vs the
@@ -193,7 +194,13 @@ def ref_batch(indices: np.ndarray, seed: int = SEED,
     rows = []
     for i in map(int, indices):
         pcm = pcm_of(i, seed, dur_min, dur_max)
+        # ulaw takes precedence in clips_batch: a slot satisfying BOTH
+        # i%ulaw_every==0 and i%extended_every==1 holds a ULAW payload,
+        # so substituting the ADPCM-decoded master here would compare a
+        # ulaw clip against an ADPCM ref (~14-28 dB) and false-flag a
+        # clean table (advisor r6) — mirror the same precedence rule.
         if (extended_every and i % extended_every == 1
+                and not (ulaw_every and i % ulaw_every == 0)
                 and _EXTENDED_ENCODERS[(i // extended_every) % 4][0] == "ima_adpcm"):
             pcm = decode_wav_ima_adpcm(
                 encode_wav_ima_adpcm(pcm, sr_of(i, seed))
@@ -235,14 +242,16 @@ def generate_clips(spark: SparkSession, n: int, seed: int = SEED,
 def generate_ref_clips(spark: SparkSession, n: int, seed: int = SEED,
                        partitions: int | None = None,
                        dur_min: int = 200, dur_max: int = 2000,
-                       extended_every: int | None = None) -> DataFrame:
+                       extended_every: int | None = None,
+                       ulaw_every: int | None = None) -> DataFrame:
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
                 yield ref_batch(pdf["id"].to_numpy(), seed, dur_min, dur_max,
-                                extended_every=extended_every)
+                                extended_every=extended_every,
+                                ulaw_every=ulaw_every)
 
     return spark.range(0, n, 1, parts).mapInPandas(gen, REF_CLIPS_SCHEMA)
 

@@ -108,7 +108,7 @@ def _emit_page(htype: int, granule: int, serial: int, seq: int,
             + bytes(segs) + body)
 
 
-def _paginate(packets: list[tuple[bytes, int]], serial: int,
+def _paginate(packets: list[tuple[bytes, int]],
               first_seq: int) -> list[bytes]:
     """Packets (data, granule_after) -> pages. Packets longer than the
     page's remaining segment budget CONTINUE onto the next page (flag
@@ -178,8 +178,8 @@ def encode_ogg_fake_opus(samples: np.ndarray, sr_hz: int,
     tags = b"OpusTags" + struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
     # header pages: OpusHead alone on the BOS page, OpusTags on its own
     # page, both granule 0 (RFC 7845 §3)
-    head_pages = _paginate([(head, 0)], serial, 0)
-    tag_pages = _paginate([(tags, 0)], serial, 1)
+    head_pages = _paginate([(head, 0)], 0)
+    tag_pages = _paginate([(tags, 0)], 1)
     audio_packets = []
     total_48k = 0
     for start in range(0, len(x), _SAMPLES_PER_PACKET):
@@ -191,7 +191,7 @@ def encode_ogg_fake_opus(samples: np.ndarray, sr_hz: int,
         )
     if not audio_packets:  # zero-length clip still needs an EOS page
         audio_packets = [(FAKE_PACKET_MAGIC + struct.pack("<I", 0), 0)]
-    audio_pages = _paginate(audio_packets, serial, 2)
+    audio_pages = _paginate(audio_packets, 2)
     # re-sequence audio pages after the two header pages
     audio_pages = [(h, g, 2 + i, sg, b)
                    for i, (h, g, _s, sg, b) in enumerate(audio_pages)]
@@ -256,23 +256,33 @@ def _walk_pages(payload: bytes):
 
 
 def _packets_of(pages) -> list[bytes]:
-    packets = []
-    partial = bytearray()
+    """Packet reassembly from lacing values. r7: instead of a Python
+    loop appending per 255-byte segment, concatenate the page bodies
+    once (they are the packet byte stream in page order) and slice at
+    the cumulative-lacing boundaries where a lace < 255 ends a packet —
+    byte-identical output, ~0 per-segment Python work."""
+    laces_per_page = []
+    bodies = []
     open_packet = False
     for htype, _granule, segs, body in pages:
         if bool(htype & 0x01) != open_packet:
             raise ValueError("Ogg continuation flag inconsistent with lacing")
-        pos = 0
-        for lace in segs:
-            partial += body[pos:pos + lace]
-            pos += lace
-            if lace < 255:
-                packets.append(bytes(partial))
-                partial = bytearray()
+        bodies.append(body)
+        laces_per_page.append(np.frombuffer(segs, dtype=np.uint8))
         if segs:
             open_packet = segs[-1] == 255
     if open_packet:
         raise ValueError("Ogg stream ends mid-packet")
+    blob = b"".join(bodies)
+    laces = (np.concatenate(laces_per_page) if laces_per_page
+             else np.zeros(0, dtype=np.uint8))
+    ends = np.cumsum(laces, dtype=np.int64)
+    packets = []
+    start = 0
+    for i in np.nonzero(laces < 255)[0]:
+        e = int(ends[i])
+        packets.append(blob[start:e])
+        start = e
     return packets
 
 

@@ -23,6 +23,18 @@ from ..models import (
 # row-count * est-row-bytes as the stand-in (SURVEY.md §4 join strategy).
 BROADCAST_LIMIT_BYTES = 256 * 1024 * 1024
 
+# r7: below this size Catalyst/AQE reach the same broadcast decision on
+# their own (spark.sql.autoBroadcastJoinThreshold is 64 MB in
+# session.py, and AQE additionally converts sort-merge to broadcast
+# from RUNTIME sizes) — an explicit F.broadcast() hint there only
+# REMOVES adaptivity and forces an eager driver-side relation build
+# (measured slower than letting AQE pick on every anti-join lane). The
+# hint earns its keep only in the band where our estimate says
+# "broadcast" but the planner's conservative threshold would refuse
+# (AQE_TRUST..BROADCAST_LIMIT), or when the plan estimate is the
+# unreliable join-derived sentinel (the prefer_count path).
+AQE_TRUST_BYTES = 64 * 1024 * 1024
+
 
 def _violation(asset_col, error_key: str, process: str = PROCESS_ROW_VALIDATION,
                prop: str = "", message: str | None = None, data=None):
@@ -58,6 +70,7 @@ def choose_join_side(ref: DataFrame, est_row_bytes: int = 64,
     count (e.g. post-localCheckpoint).
     """
     est = None
+    have_plan_stats = False
     if not prefer_count:
         try:
             size = ref._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -66,11 +79,17 @@ def choose_join_side(ref: DataFrame, est_row_bytes: int = 64,
             est = None
         if est is not None and (est <= 0 or est > (1 << 62)):
             est = None  # unknown / sentinel max
+        have_plan_stats = est is not None
     if est is None:
         try:
             est = ref.count() * est_row_bytes
         except Exception:
             est = limit_bytes + 1
+    if have_plan_stats and est <= AQE_TRUST_BYTES:
+        # the planner sees the SAME stats and will broadcast on its own
+        # (statically under autoBroadcastJoinThreshold, or at runtime via
+        # AQE's join rewrite) — forcing it here only costs adaptivity
+        return ref
     return F.broadcast(ref) if est <= limit_bytes else ref
 
 

@@ -37,15 +37,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # r7: let AQE size post-shuffle partitions by DATA VOLUME (the
-        # advisory size) instead of stopping coalescing at the default
-        # parallelism — with parallelismFirst=true (Spark's default) a
-        # 65-row shuffle still schedules ~cores tasks per stage, which
-        # dominates iterative lanes (CC rounds). The Spark tuning guide
-        # itself recommends false; partition counts then scale with
-        # input size on any cluster, not with the local core count.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        # r7 note: parallelismFirst=false (coalesce by advisory size
+        # alone) was measured both ways: it wins on scheduling-bound
+        # iterative lanes but LOSES 20-30% on compute-dense small-byte
+        # stages (pair verify, simhash aggregation, PQ encode), where
+        # bytes underestimate work and coalescing to one partition
+        # serializes real compute. The iterative CC loops get their
+        # partition count explicitly (dedup._cc_round_conf, derived
+        # from edge count); everything else keeps Spark's default.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -155,12 +155,12 @@ def test_opus_head_malformations_refuse():
     good_head = struct.Struct("<8sBBHIhB").pack(b"OpusHead", 1, 1, 0, 8000, 0, 0)
 
     def stream_with_head(head):
-        head_pages = og._paginate([(head, 0)], 7, 0)
+        head_pages = og._paginate([(head, 0)], 0)
         tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
-        tag_pages = og._paginate([(tags, 0)], 7, 1)
+        tag_pages = og._paginate([(tags, 0)], 1)
         pkt = og.FAKE_PACKET_MAGIC + struct.pack("<I", 0)
         audio = [(h, g, 2, sg, b)
-                 for h, g, _s, sg, b in og._paginate([(pkt, 0)], 7, 2)]
+                 for h, g, _s, sg, b in og._paginate([(pkt, 0)], 2)]
         return (og._render_pages(head_pages, 7, True, False)
                 + og._render_pages(tag_pages, 7, False, False)
                 + og._render_pages(audio, 7, False, True))
@@ -194,11 +194,11 @@ def test_real_opus_packets_refuse_without_libopus():
     refuse honestly when soundfile/libopus is absent (gate 3)."""
     head = struct.Struct("<8sBBHIhB").pack(b"OpusHead", 1, 1, 0, 16000, 0, 0)
     tags = b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 0)
-    head_pages = og._paginate([(head, 0)], 9, 0)
-    tag_pages = og._paginate([(tags, 0)], 9, 1)
+    head_pages = og._paginate([(head, 0)], 0)
+    tag_pages = og._paginate([(tags, 0)], 1)
     opus_like = bytes([0x78]) + b"\x01\x02\x03"  # a TOC byte + payload
     audio = [(h, g, 2, sg, b)
-             for h, g, _s, sg, b in og._paginate([(opus_like, 960)], 9, 2)]
+             for h, g, _s, sg, b in og._paginate([(opus_like, 960)], 2)]
     stream = (og._render_pages(head_pages, 9, True, False)
               + og._render_pages(tag_pages, 9, False, False)
               + og._render_pages(audio, 9, False, True))
