@@ -10,11 +10,11 @@ Scale design — the payload NEVER rides a shuffle in the common case:
 
 1. **Decode + fingerprint pass** (one ``mapInPandas`` over the clips
    scan, zero shuffle): decode ``bytes`` under ``codec``; emit
-   (clip_id, decode_ok, md5(decoded PCM)). Payload bytes go JVM->Arrow->
+   (clip_id, decode_ok, sha1(decoded PCM)). Payload bytes go JVM->Arrow->
    numpy once and are dropped immediately.
-2. **Fingerprint join** (shuffles ~50 B/row): md5(ref_pcm) is computed
+2. **Fingerprint join** (shuffles ~50 B/row): sha1(ref_pcm) is computed
    where the reference rows already live; the hash-only frames join on
-   clip_id. Identical PCM <=> identical md5 <=> SNR = +inf >= threshold,
+   clip_id. Identical PCM <=> identical sha1 <=> SNR = +inf >= threshold,
    so hash-equal rows PASS with no further work.
 3. **SNR fallback join** (payloads move, but ONLY for the residue):
    hash-mismatched clips — lossy codecs, corrupted-but-decodable rows —
@@ -50,7 +50,12 @@ _FP_SCHEMA = T.StructType(
         T.StructField("clip_id", T.StringType(), False),
         T.StructField("decode_ok", T.BooleanType(), False),
         T.StructField("decode_err", T.StringType(), True),
-        T.StructField("pcm_md5", T.StringType(), True),
+        # r7: fingerprint family switched md5 -> sha1. Same contract
+        # (hash equality <=> bit-identical PCM; collision odds lower,
+        # not higher), same JVM builtin on the manifest side (F.sha1),
+        # but this host hashes sha1 at 1.4 GB/s vs md5's 0.55 — and at
+        # 240k clips the PCM hashing was ~17 CPU-s of the decode pass.
+        T.StructField("pcm_sha1", T.StringType(), True),
         # payload truth for the metadata-consistency check (r6): the
         # sample rate the container/frames declare and the decoded
         # per-channel frame count — compared against the table's
@@ -78,7 +83,7 @@ _EMPTY_DATA = "array<struct<name:string,value:string>>"
 
 
 def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Stage-1 worker: decode + md5 of the decoded little-endian PCM16,
+    """Stage-1 worker: decode + sha1 of the decoded little-endian PCM16,
     plus the payload's decoded sample rate / frame count (metadata-
     consistency inputs; declared sr_hz/dur_ms pass through untouched).
 
@@ -125,7 +130,7 @@ def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             # downmix — a valid stereo FLAC passes the decode gate and
             # its invariant is its downmix vs the reference
             samples = to_mono(samples)
-            fps.append(hashlib.md5(np.ascontiguousarray(samples, dtype="<i2").tobytes()).hexdigest())
+            fps.append(hashlib.sha1(np.ascontiguousarray(samples, dtype="<i2").tobytes()).hexdigest())
         if crc_sink:
             ok_crc = crc16_verify_batch(crc_sink)
             for k, row in enumerate(crc_rows):
@@ -140,7 +145,7 @@ def _decode_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "clip_id": ids,
                 "decode_ok": oks,
                 "decode_err": errs,
-                "pcm_md5": fps,
+                "pcm_sha1": fps,
                 "decoded_sr": pd.array(srs, dtype="Int64"),
                 "n_frames": pd.array(frames, dtype="Int64"),
                 "sr_hz": (pdf["sr_hz"].astype("Int64").values
@@ -221,15 +226,23 @@ def _violation_rows(df: DataFrame, prop: str, error_key_col, message_col,
 
 
 def ref_fingerprints(ref: DataFrame, key: str = "clip_id") -> DataFrame:
-    """Derive the reference fingerprint manifest: (clip_id, ref_md5).
+    """Derive the reference fingerprint manifest: (clip_id, ref_sha1).
 
     This is a pure function of the reference table — at scale it is
-    MATERIALIZED once per table snapshot (a ~40 B/row side table) so
+    MATERIALIZED once per table snapshot (a ~45 B/row side table) so
     validation runs never re-scan the multi-TB ``ref_pcm`` column.
     Rebuild on snapshot change; pass to ``audio_invariants``/``validate``.
+
+    r7: the fingerprint family is sha1 (was md5) — the hash-screen
+    contract (equality <=> bit-identical PCM) is unchanged, the JVM
+    builtin exists on this side (``F.sha1``), and sha1 hashes ~2.5x
+    faster in the Python decode worker, where PCM hashing was a top
+    CPU item at 240k clips. Manifests built with the md5 family must
+    be rebuilt (audio_invariants refuses them with a clear message —
+    a silent family mismatch would SNR-join every row).
     """
     return ref.select(
-        F.col(key).alias("clip_id"), F.md5(F.col("ref_pcm")).alias("ref_md5")
+        F.col(key).alias("clip_id"), F.sha1(F.col("ref_pcm")).alias("ref_sha1")
     )
 
 
@@ -338,6 +351,15 @@ def audio_invariants(
         return undecodable.unionByName(meta_violations)
 
     # ---- stage 2: hash-only comparison (no payloads in the shuffle) -----
+    if fingerprints is not None and "ref_sha1" not in fingerprints.columns:
+        # refuse a manifest from the old md5 family LOUDLY: silently
+        # treating it as all-mismatched would SNR-join every payload row
+        raise ValueError(
+            "ref fingerprint manifest has no 'ref_sha1' column "
+            f"(columns: {fingerprints.columns}); the fingerprint family "
+            "is sha1 as of r7 — rebuild the manifest with "
+            "operators.audio.ref_fingerprints"
+        )
     ref_fp = fingerprints if fingerprints is not None else ref_fingerprints(ref, key)
     joined_fp = fp.where(F.col("decode_ok")).join(
         choose_join_side(ref_fp), on="clip_id", how="inner"
@@ -347,7 +369,7 @@ def audio_invariants(
     # the fp-vs-ref_fp join would re-run for each. O(residue keys)
     # storage, ~20 B/row.
     mismatched = (
-        joined_fp.where(F.col("pcm_md5") != F.col("ref_md5"))
+        joined_fp.where(F.col("pcm_sha1") != F.col("ref_sha1"))
         .select("clip_id")
         .localCheckpoint(eager=True)
     )

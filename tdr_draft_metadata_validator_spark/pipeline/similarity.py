@@ -90,7 +90,61 @@ def brute_force_topk(
     -> (query_id, neighbor_id, cosine, rank). Excludes self-matches.
     Query side is broadcast — the corpus is scanned ONCE regardless of
     query count; scores shuffle once for the per-query top-k window.
+
+    r7: for array<double> inputs the scoring runs as one Arrow
+    ``mapInPandas`` pass with the collected queries in the task closure
+    (queries are few by contract) and left-associated folds
+    (:func:`_seq_dots_np`) — IEEE-identical cosines to the Column path
+    (which stays for other input types), no interpreted higher-order
+    functions, same plan tail (JVM round + per-query top-k window).
     """
+    if _is_double_vec(emb, vec_col) and _is_double_vec(queries, q_vec_col):
+        q_rows = queries.select(
+            F.col(q_id_col).cast("string").alias("qid"),
+            F.col(q_vec_col).alias("qv"),
+        ).collect()
+        qs = []
+        for r in q_rows:
+            qv = np.asarray(r["qv"], dtype=np.float64)
+            qs.append((r["qid"], qv, float(_seq_norms_np(qv[None, :])[0])))
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                cn = _seq_norms_np(x)
+                ids = pdf["id"].to_numpy()
+                frames = []
+                for qid, qv, qn in qs:
+                    dots = _seq_dots_np(x, qv[None, :])[:, 0]
+                    frames.append(pd.DataFrame({
+                        "query_id": qid,
+                        "neighbor_id": ids,
+                        "cosine_raw": dots / (qn * cn),
+                    }))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        src = emb.select(
+            F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v")
+        )
+        scored = src.mapInPandas(
+            run, "query_id string, neighbor_id string, cosine_raw double"
+        ).where(F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id", "neighbor_id",
+            F.round(F.col("cosine_raw"), 6).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
     cand = emb.select(
         F.col(id_col).cast("string").alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

@@ -54,7 +54,22 @@ def test_fingerprint_manifest_shape(spark):
     fp = ref_fingerprints(ref)
     rows = fp.collect()
     assert {r["clip_id"] for r in rows} == {datagen.clip_id_of(i) for i in range(3)}
-    assert all(len(r["ref_md5"]) == 32 for r in rows)
+    assert all(len(r["ref_sha1"]) == 40 for r in rows)
+
+
+def test_stale_md5_manifest_refused(spark):
+    """r7: the fingerprint family is sha1; an old md5-family manifest
+    must be refused loudly (silently treating it as all-mismatched
+    would SNR-join every payload row)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    clips, ref = _tables(spark, n=3)
+    stale = ref.select(
+        F.col("clip_id"), F.md5(F.col("ref_pcm")).alias("ref_md5")
+    )
+    with pytest.raises(ValueError, match="ref_sha1"):
+        audio_invariants(clips, ref, fingerprints=stale)
 
 
 def test_ulaw_lossy_residue_path(spark):
