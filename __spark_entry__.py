@@ -638,15 +638,15 @@ def q_simhash_pairs(spark, sf):
     the pair join — the text is read a single time."""
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     fps = dedup.simhash(docs, bits=32, lane="md5")
+    # r7: the pair join carries both fingerprints for the popcount, so
+    # keep_fps exposes them directly — two re-joins against fps removed
     pairs = dedup.hamming_near_pairs(
-        fps, max_hamming=6, bits=32, chunks=4, id_col="id", fp_col="simhash"
+        fps, max_hamming=6, bits=32, chunks=4, id_col="id", fp_col="simhash",
+        keep_fps=True,
     )
-    return (
-        pairs
-        .join(fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("s_a")), "id_a")
-        .join(fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("s_b")), "id_b")
-        .select("id_a", "id_b", "s_a", "s_b",
-                F.col("hamming").cast("int").alias("hamming"))
+    return pairs.select(
+        "id_a", "id_b", F.col("f_a").alias("s_a"), F.col("f_b").alias("s_b"),
+        F.col("hamming").cast("int").alias("hamming"),
     )
 
 
@@ -952,18 +952,17 @@ def production_overrides() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     def p_simhash_pairs(spark, sf):
         # same chained shape as the oracle row (fingerprints computed
-        # once, pairs + s_a/s_b), xxhash64 lane
+        # once, pairs + s_a/s_b via keep_fps — r7), xxhash64 lane
         docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
         fps = dedup.simhash(docs, bits=32)
         pairs = dedup.hamming_near_pairs(
-            fps, max_hamming=6, bits=32, chunks=4, id_col="id", fp_col="simhash"
+            fps, max_hamming=6, bits=32, chunks=4, id_col="id",
+            fp_col="simhash", keep_fps=True,
         )
-        return (
-            pairs
-            .join(fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("s_a")), "id_a")
-            .join(fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("s_b")), "id_b")
-            .select("id_a", "id_b", "s_a", "s_b",
-                    F.col("hamming").cast("int").alias("hamming"))
+        return pairs.select(
+            "id_a", "id_b", F.col("f_a").alias("s_a"),
+            F.col("f_b").alias("s_b"),
+            F.col("hamming").cast("int").alias("hamming"),
         )
 
     def p_hash_split(spark, sf):

@@ -377,6 +377,7 @@ def hamming_near_pairs(
     chunks: int = 4,
     id_col: str = "id",
     fp_col: str = "fp",
+    keep_fps: bool = False,
 ) -> DataFrame:
     """Shared Hamming-radius pair join over ANY integer fingerprint column
     (SimHash, audio envelope, ...): split the fingerprint into ``chunks``
@@ -389,7 +390,10 @@ def hamming_near_pairs(
     oracle query runs max_hamming=6 over 4 chunks, replicated exactly in
     SQL) document it.
 
-    -> (id_a, id_b, hamming) with hamming <= max_hamming.
+    -> (id_a, id_b, hamming) with hamming <= max_hamming;
+    ``keep_fps=True`` adds (f_a, f_b) — the pair join already carries
+    both fingerprints for the popcount, so exposing them is free and
+    saves callers two re-joins against the fingerprint frame (r7).
     """
     chunk = -(-bits // chunks)  # ceil: cover every bit
     mask = (1 << chunk) - 1
@@ -413,7 +417,8 @@ def hamming_near_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+    extra = ("f_a", "f_b") if keep_fps else ()
+    return cand.select("id_a", "id_b", *extra, ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
 
