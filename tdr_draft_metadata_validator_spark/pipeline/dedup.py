@@ -584,7 +584,6 @@ def near_dup_components(
         .localCheckpoint(eager=False)
     )
     n_edges = edges.count()  # materializes the checkpoint; sizes the rounds
-    rounds = 0
     with _cc_round_conf(pairs.sparkSession, n_edges):
         return _minlabel_rounds(edges, labels, max_iter, rounds_out)
 
