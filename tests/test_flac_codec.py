@@ -384,3 +384,36 @@ def test_decode_fuzz_never_raises_non_valueerror():
             decode_flac(bytes(p[:rng.randint(4, len(p) + 1)]))
         except ValueError:
             pass
+
+
+def test_crc16_verify_batch_deferral():
+    """r7: decode_flac(..., _crc_sink=...) defers frame CRC verification;
+    crc16_verify_batch must verify MANY streams in one pass with the
+    same accept/refuse decisions the inline check makes."""
+    from tdr_draft_metadata_validator_spark.functions.flac_codec import (
+        crc16_verify_batch,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    payloads = [
+        encode_flac(rng.randint(-2000, 2000, n).astype(np.int16), 8000)
+        for n in (400, 1000, 5000)
+    ]
+    # corrupt the final CRC byte of the middle stream
+    bad = bytearray(payloads[1])
+    bad[-1] ^= 0xFF
+    payloads[1] = bytes(bad)
+
+    sink = []
+    outs = []
+    for p in payloads:
+        outs.append(decode_flac(p, _crc_sink=sink))
+    ok = crc16_verify_batch(sink)
+    assert ok.tolist() == [True, False, True]
+    # inline (no sink) behavior unchanged: good streams decode, the
+    # corrupted one refuses with the CRC message
+    decode_flac(payloads[0])
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(payloads[1])
