@@ -498,10 +498,15 @@ class _cc_round_conf:
         self._n = n_edges
         self._prev: tuple[str, str] | None = None
 
+    @classmethod
+    def parts_for(cls, spark, n_edges: int) -> tuple[int, int]:
+        """(derived round partition count, session default)."""
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return max(1, min(default, -(-n_edges // cls.ROWS_PER_PART))), default
+
     def __enter__(self):
         conf = self._spark.conf
-        default = int(conf.get("spark.sql.shuffle.partitions"))
-        npart = max(1, min(default, -(-self._n // self.ROWS_PER_PART)))
+        npart, default = self.parts_for(self._spark, self._n)
         if npart < default:
             self._prev = (str(default), conf.get("spark.sql.adaptive.enabled"))
             conf.set("spark.sql.shuffle.partitions", str(npart))
@@ -548,9 +553,12 @@ def near_dup_components(
       cannot mis-classify, only spend ``auto_probe_rounds`` extra joins
       on deep graphs.
 
-    Labels are localCheckpoint'ed per round — the standard
+    Labels are localCheckpoint'ed per materialized block — the standard
     iterative-Spark guard against exponential plan growth.
-    ``rounds_out``: optional list the round count is appended to.
+    ``rounds_out``: optional list the executed round count is appended
+    to; in the fused small-graph regime rounds execute in blocks of up
+    to ``_MINLABEL_FUSE``, so the count is reported at block granularity
+    (it may exceed the convergence round by up to fuse-1 no-op rounds).
     """
     if method == "auto":
         try:
@@ -569,11 +577,20 @@ def near_dup_components(
         raise ValueError(
             f"unknown method {method!r}; 'minlabel', 'star', or 'auto'"
         )
-    edges = (
+    sym = (
         pairs.select(F.col(id_a).cast("string").alias("a"),
                      F.col(id_b).cast("string").alias("b"))
         .unionByName(pairs.select(F.col(id_b).cast("string").alias("a"),
                                   F.col(id_a).cast("string").alias("b")))
+    )
+    # r7: SELF-LOOP rows (a,a) fold the "own label" into the one
+    # neighbor join, so each round references the labels frame exactly
+    # ONCE — without them the round needs labels twice (join + union)
+    # and a fused block's plan DOUBLES per round (measured: exponential
+    # stage blowup at fuse>=4). The static edge frame grows by one row
+    # per node; the per-round union stage disappears.
+    edges = (
+        sym.unionByName(sym.select("a", F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -584,13 +601,34 @@ def near_dup_components(
         .localCheckpoint(eager=False)
     )
     n_edges = edges.count()  # materializes the checkpoint; sizes the rounds
+    # r7: in the SMALL-graph regime (the same criterion _cc_round_conf
+    # uses — the rounds are scheduling-bound, not data-bound) FUSE up to
+    # _MINLABEL_FUSE rounds of lineage into one materialized job: the
+    # per-round cost there is Py4J + planning + job submit (~110 ms on
+    # this host), not compute, so one job per 8 rounds removes ~7/8 of
+    # the floor. Convergence is still checked from the LAST round of
+    # each block (min-label is idempotent past the fixpoint, so up to
+    # fuse-1 no-op rounds run — free at this size), blocks clamp to
+    # max_iter, and non-convergence still refuses. Large graphs keep
+    # fuse=1: there a round is expensive and the per-round convergence
+    # check prevents wasted full-scale rounds.
+    fuse = _MINLABEL_FUSE if n_edges <= _cc_round_conf.ROWS_PER_PART else 1
+    npart, default = _cc_round_conf.parts_for(pairs.sparkSession, n_edges)
+    if npart < default:
+        # the static edge frame is scanned by every round's join; drop
+        # its (input-inherited) partitioning to the derived round count
+        # so each scan is npart tasks, not a core-count of empty ones
+        edges = edges.coalesce(npart)
     with _cc_round_conf(pairs.sparkSession, n_edges):
-        return _minlabel_rounds(edges, labels, max_iter, rounds_out)
+        return _minlabel_rounds(edges, labels, max_iter, rounds_out, fuse)
 
 
-def _minlabel_rounds(edges, labels, max_iter, rounds_out):
+_MINLABEL_FUSE = 8
+
+
+def _minlabel_rounds(edges, labels, max_iter, rounds_out, fuse=1):
     rounds = 0
-    for _ in range(max_iter):
+    while rounds < max_iter:
         # r7 round shape (guide §2.4 — one exchange fewer, one job fewer
         # per round): neighbor labels UNION the old labels feed a single
         # groupBy(id) that yields BOTH the new min-label and the old one
@@ -599,29 +637,35 @@ def _minlabel_rounds(edges, labels, max_iter, rounds_out):
         # a column of the same aggregate, and the scalar max(__chg) agg
         # is the SAME job that materializes the lazy localCheckpoint —
         # one Spark job per round instead of checkpoint-job + count-job.
-        neigh = (
-            edges.join(labels, edges["b"] == labels["id"])
-            .select(F.col("a").alias("id"), "component",
-                    F.lit(False).alias("__old"))
-        )
-        unioned = neigh.unionByName(
-            labels.select("id", "component", F.lit(True).alias("__old"))
-        )
-        new_labels = (
-            unioned.groupBy("id")
-            .agg(
+        # With fuse>1 (small regime only) the block's first fuse-1
+        # rounds stay lazy lineage inside that same job.
+        block = min(fuse, max_iter - rounds)
+        cur = labels
+        for i in range(block):
+            # the edge frame carries a SELF-LOOP per node, so this one
+            # join yields every neighbor's label AND the node's own old
+            # label (the a==b row) — `cur` appears exactly once, keeping
+            # fused-block plans linear in block size.
+            joined = edges.join(cur, edges["b"] == cur["id"]).select(
+                F.col("a"), F.col("b"), F.col("component")
+            )
+            agged = joined.groupBy(F.col("a").alias("id")).agg(
                 F.min("component").alias("component"),
-                F.min(F.when(F.col("__old"), F.col("component"))).alias("__oldc"),
+                F.min(
+                    F.when(F.col("a") == F.col("b"), F.col("component"))
+                ).alias("__oldc"),
             )
-            .select(
-                "id", "component",
-                (F.col("component") != F.col("__oldc")).alias("__chg"),
-            )
-            .localCheckpoint(eager=False)
-        )
+            if i < block - 1:
+                cur = agged.select("id", "component")
+            else:
+                cur = agged.select(
+                    "id", "component",
+                    (F.col("component") != F.col("__oldc")).alias("__chg"),
+                ).localCheckpoint(eager=False)
+        new_labels = cur
         changed = new_labels.agg(F.max("__chg")).first()[0]
         labels = new_labels.select("id", "component")
-        rounds += 1
+        rounds += block
         if not changed:
             break
     else:

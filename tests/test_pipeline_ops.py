@@ -494,6 +494,54 @@ def test_star_components_match_minlabel_and_bound_rounds(spark):
     }
 
 
+def test_minlabel_fused_blocks_match_per_round_execution(spark):
+    """r7: in the small-graph regime min-label rounds run in fused
+    blocks (up to _MINLABEL_FUSE rounds of lineage per materialized
+    job). Labels must be identical to per-round execution (min-label is
+    idempotent past the fixpoint), the non-convergence refusal must
+    still fire on the true round budget, and the reported round count
+    stays within fuse-1 of the unfused count."""
+    import random
+
+    deep = spark.createDataFrame(
+        [(f"{i:03d}", f"{i+1:03d}") for i in range(30)],
+        "id_a string, id_b string",
+    )
+    random.seed(7)
+    rand = spark.createDataFrame(
+        [(str(random.randrange(40)), str(random.randrange(40)))
+         for _ in range(60)],
+        "id_a string, id_b string",
+    ).where(F.col("id_a") != F.col("id_b"))
+
+    saved = dedup._MINLABEL_FUSE
+    try:
+        for pairs in (deep, rand):
+            r_f, r_u = [], []
+            dedup._MINLABEL_FUSE = 8
+            fused = {
+                tuple(r) for r in dedup.near_dup_components(
+                    pairs, max_iter=60, method="minlabel", rounds_out=r_f
+                ).collect()
+            }
+            dedup._MINLABEL_FUSE = 1
+            unfused = {
+                tuple(r) for r in dedup.near_dup_components(
+                    pairs, max_iter=60, method="minlabel", rounds_out=r_u
+                ).collect()
+            }
+            assert fused == unfused
+            assert r_u[0] <= r_f[0] < r_u[0] + 8
+        # refusal: diameter 30 > max_iter 10, fused or not
+        dedup._MINLABEL_FUSE = 8
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.near_dup_components(
+                deep, max_iter=10, method="minlabel"
+            ).collect()
+    finally:
+        dedup._MINLABEL_FUSE = saved
+
+
 def test_auto_cc_dispatch_identical_components_both_regimes(spark):
     """Judge r3 task 5: method='auto' probes with min-label and switches
     to star only when the probe doesn't converge. Deep chain (diameter
