@@ -238,7 +238,7 @@ def append_signatures(
     batch (creates the store on first call, pinning LSH parameters AND
     the (band, bp) partition grid). Returns the batch id — 0 when the
     delta is empty (nothing committed; zero-row batches are never
-    written). Append-only:
+    published to the manifest). Append-only:
     one partitioned parquet write of the NEW buckets; existing batches
     are never rewritten (the Iceberg-append analog — at 10^12 rows this
     is the property that matters). ``store_buckets`` is only consulted
@@ -263,30 +263,44 @@ def append_signatures(
                 id_col, text_col, lane=params["lane"],
             )
         buckets = buckets.select(*_BUCKET_COLS)
-        # pin the buckets (O(delta x bands) rows): the emptiness probe
-        # and the write below then share ONE computation of the
-        # text-reading minhash pass instead of running it twice
-        buckets = buckets.localCheckpoint(eager=True)
-        if buckets.isEmpty():
-            # an empty delta is normal in steady state (nothing new since
-            # the last run) — writing a zero-row batch would poison every
-            # later read (parquet schema inference fails on empty dirs).
-            # Nothing is published either: params-without-batches would
-            # make store_params() non-None while read_signatures refuses,
-            # wedging every later run — an empty FIRST delta must leave
-            # no store at all (the next non-empty delta bootstraps).
-            return 0
+        # r7: the emptiness probe rides the WRITE action via an observed
+        # count — ONE Spark job per append (the previous eager
+        # localCheckpoint + isEmpty pair cost two extra jobs, ~2/3 of a
+        # small append's wall). A zero-row batch would poison every later
+        # read (parquet schema inference fails on empty dirs) and an
+        # empty FIRST delta must publish nothing (params-without-batches
+        # would wedge every later run) — so when the observed count is 0
+        # the just-written empty directory is removed BEFORE anything is
+        # published: the store is exactly as if the append never ran,
+        # and a crash mid-cleanup leaves an orphan directory the
+        # manifest never references (the same crash contract as below).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = buckets.observe(obs, F.count(F.lit(1)).alias("n"))
         path = os.path.join(root, f"batch-{bid}")
         sb = params.get("store_buckets")
         if sb:
             # hash-partitioned layout: repartition on the grid first so
-            # the write emits O(grid) files, not O(tasks x grid)
-            (buckets.withColumn("bp", _bp_col(sb))
-             .repartition(F.col("band"), F.col("bp"))
+            # the write emits O(grid) files, not O(tasks x grid); the
+            # partition count derives from the grid (capped at the
+            # session default) — a 4x4 oracle-scale store commits with
+            # 16 tasks, a production-size grid keeps the session width
+            default_parts = int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            nparts = min(default_parts, int(params["bands"]) * int(sb))
+            (observed.withColumn("bp", _bp_col(sb))
+             .repartition(nparts, F.col("band"), F.col("bp"))
              .write.mode("errorifexists").partitionBy("band", "bp")
              .parquet(path))
         else:  # legacy store created before the bucketed layout
-            buckets.write.mode("errorifexists").parquet(path)
+            observed.write.mode("errorifexists").parquet(path)
+        if not obs.get["n"]:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            return 0
         # publish params first (idempotent), then the batch list (atomic
         # rename) — a crash in between leaves an orphan directory, never
         # a manifest pointing at missing data
