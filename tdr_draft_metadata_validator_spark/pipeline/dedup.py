@@ -623,7 +623,11 @@ def near_dup_components(
         return _minlabel_rounds(edges, labels, max_iter, rounds_out, fuse)
 
 
-_MINLABEL_FUSE = 8
+# block size swept on the bench lane: 8 -> 5.2-6.2 s, 16 -> 4.6-5.2 s,
+# 24/32 flat within noise (per-round in-job cost dominates past 16);
+# larger blocks also deepen per-job plan analysis and waste more no-op
+# rounds past the fixpoint, so 16 is the knee.
+_MINLABEL_FUSE = 16
 
 
 def _minlabel_rounds(edges, labels, max_iter, rounds_out, fuse=1):
