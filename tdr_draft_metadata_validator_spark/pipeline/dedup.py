@@ -623,15 +623,20 @@ def near_dup_components(
         return _minlabel_rounds(edges, labels, max_iter, rounds_out, fuse)
 
 
-# block size swept on the bench lane: 8 -> 5.2-6.2 s, 16 -> 4.6-5.2 s,
-# 24/32 flat within noise (per-round in-job cost dominates past 16);
-# larger blocks also deepen per-job plan analysis and waste more no-op
-# rounds past the fixpoint, so 16 is the knee.
+# MAX fused block size. Blocks grow progressively 4 -> 8 -> 16 (cap):
+# a shallow graph (the common near-dup shape, converged in <=4 rounds)
+# exits after ONE small block with at most 3 no-op rounds, while a deep
+# chain still amortizes jobs at the cap. Swept on the bench lanes:
+# uniform 16 was best for the 66-round deep chain (4.6-5.2 s vs
+# 5.2-6.2 s at 8; 24/32 flat) but cost the shallow jaccard-graph lane
+# ~0.4 s in forced no-op rounds; progressive recovers both.
 _MINLABEL_FUSE = 16
+_MINLABEL_FUSE_START = 4
 
 
 def _minlabel_rounds(edges, labels, max_iter, rounds_out, fuse=1):
     rounds = 0
+    nxt = min(_MINLABEL_FUSE_START, fuse)
     while rounds < max_iter:
         # r7 round shape (guide §2.4 — one exchange fewer, one job fewer
         # per round): neighbor labels UNION the old labels feed a single
@@ -643,7 +648,8 @@ def _minlabel_rounds(edges, labels, max_iter, rounds_out, fuse=1):
         # one Spark job per round instead of checkpoint-job + count-job.
         # With fuse>1 (small regime only) the block's first fuse-1
         # rounds stay lazy lineage inside that same job.
-        block = min(fuse, max_iter - rounds)
+        block = min(nxt, max_iter - rounds)
+        nxt = min(nxt * 2, fuse)
         cur = labels
         for i in range(block):
             # the edge frame carries a SELF-LOOP per node, so this one
