@@ -760,13 +760,21 @@ def near_dup_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         with_m = directed.withColumn("m", F.min("v").over(wu))
-        to_m = with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
-        self_m = with_m.select("u", F.col("m").alias("v")).distinct()
-        return (
-            to_m.unionByName(self_m)
-            .where(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        # r7: emit (v->m) and (u->m) from ONE pass over the windowed
+        # frame (explode of a 2-struct array) instead of a union that
+        # referenced with_m twice — the union recomputed the window
+        # above its shared exchange every round and paid an intermediate
+        # .distinct() exchange for the self rows. Duplicate (u,m) rows
+        # from un-distinct self edges only ride to the final distinct,
+        # which canonicalizes the edge set either way (same argument as
+        # large-star's dropped intermediate distinct).
+        pairs = with_m.select(
+            F.explode(F.array(
+                F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+            )).alias("e")
+        ).select("e.u", "e.v")
+        return pairs.where(F.col("u") != F.col("v")).distinct()
 
     def _sig_row(edges: DataFrame):
         """(count, xxhash64 content sum) — an order/partitioning-invariant
