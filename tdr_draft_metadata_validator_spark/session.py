@@ -76,7 +76,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _prewarm_python_workers(spark, cores)
     return spark
+
+
+_WARMED_APPS: set[str] = set()
+
+
+def _prewarm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Pre-fork the Arrow/Python worker pool (one worker per core) at
+    session build — the long-running-service startup pattern — so the
+    first REAL Arrow stage doesn't pay python-worker spawn + interpreter
+    import inside its own wall (~1-2 s at local[32] on this host).
+    Touches no data (an identity pass over ``cores`` synthetic rows);
+    workers are reused afterwards (spark.python.worker.reuse default).
+    Once per application; opt out with SPARK_GRAFT_PREWARM_WORKERS=0."""
+    if os.environ.get("SPARK_GRAFT_PREWARM_WORKERS", "1") == "0":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED_APPS:
+        return
+    _WARMED_APPS.add(app_id)
+
+    def _ident(batches):
+        yield from batches
+
+    try:
+        spark.range(cores, numPartitions=cores).mapInPandas(
+            _ident, "id long"
+        ).count()
+    except Exception:  # never let a warmup failure break session build
+        pass
 
 
 def _core_count(master: str) -> int:
